@@ -1,0 +1,272 @@
+"""CloudSkyEngine: host-side driver of the TPU cloudscape pipeline.
+
+The TPU-native equivalent of the reference's orchestration layer
+(`cloud_sky/cloud_sky.gd` + `sky_lut.gd` + `transmittance_lut.gd` + `sun.gd`):
+owns the device-resident texture rings, schedules the amortized tile updates,
+integrates wind, snapshots kernel parameters once per cycle, and exposes the
+user API (sun/config setters, view rendering, save/restore).
+
+Mapping from the reference (SURVEY.md §1 "TPU mapping"):
+- render-thread marshalling (`call_on_render_thread`)  → jitted dispatches;
+- Vulkan push constants                                → `MarchParams` pytree;
+- storage-image binding + tile dispatch                → donated
+  `lax.dynamic_update_slice` into a (3, N, N, 4) ring array;
+- `Texture2DRD` handle rebinds for the display blend   → ring role indices;
+- resource teardown on performance changes             → new jit executables.
+
+State is one pytree: `save()`/`restore()` make checkpoint/resume explicit
+(the reference reconstructs everything from `.tres` params + warm re-render;
+SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
+from cloudscape_tpu.models import atmosphere
+from cloudscape_tpu.models.compositor import composite
+from cloudscape_tpu.models.density import MarchParams, NoisePack
+from cloudscape_tpu.models.march import march
+from cloudscape_tpu.models.packs import reference_noise_pack
+from cloudscape_tpu.ops.octmap import texel_directions
+from cloudscape_tpu.temporal import FrameData, RingState
+
+
+@partial(
+    jax.jit,
+    static_argnames=("texture_size", "region", "steps", "light_steps"),
+    donate_argnums=(0,),
+)
+def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise: NoisePack,
+                 sky_img, *, texture_size: int, region: int, steps: int,
+                 light_steps: int):
+    """Render one region² tile into ring[tex_idx] at (x0, y0) — the analog of
+    the reference's per-frame compute dispatch (`cloud_sky.gd:234-248`).
+
+    The ring buffer is donated: XLA updates it in place, exactly like
+    rendering into a bound storage image. tex_idx/x0/y0 are traced so a single
+    executable serves every tile of every cycle.
+    """
+    dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region, height=region)
+    tile = march(dirs, params, noise, sky_img, steps=steps, light_steps=light_steps)
+    return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _update_sky_lut_slot(sky_ring, slot_idx, tlut, sun_direction):
+    """Render the 200×100 sky-view LUT into ring[slot_idx]
+    (`sky_lut.gd:122-141`)."""
+    img = atmosphere.sky_lut(tlut, sun_direction)
+    return jax.lax.dynamic_update_slice(
+        sky_ring, img[None], (slot_idx, 0, 0, 0)
+    )
+
+
+class CloudSkyEngine:
+    """User-facing engine with the reference's parameter surface and
+    scheduling semantics."""
+
+    SKY_LUT_SHAPE = (100, 200, 4)
+
+    def __init__(
+        self,
+        perf: PerfConfig = PerfConfig(),
+        config: CloudConfig = CloudConfig(),
+        sun: SunState = SunState(direction=(0.0, 0.5, -1.0)),
+        noise: Optional[NoisePack] = None,
+        now: float = 0.0,
+    ):
+        self.perf = perf.validate()
+        self.config = config
+        self.sun = sun
+        self.noise = noise if noise is not None else reference_noise_pack()
+
+        # Baked once at load, like `transmittance_lut.gd:51-78`.
+        self.transmittance = atmosphere.transmittance_lut()
+
+        n = self.perf.texture_size
+        self.cloud_ring = jnp.zeros((3, n, n, 4), jnp.float32)
+        self.sky_ring = jnp.zeros((3,) + self.SKY_LUT_SHAPE, jnp.float32)
+
+        self.frame_data = FrameData()
+        self.ring = RingState()
+        self._start_time: Optional[float] = None
+        self.needs_full_sky_init = True
+        self._sky_lut_needs_full_update = True  # sky_lut.gd `needs_full_update`
+        self._refresh_frame_data(now)
+
+    # ------------------------------------------------------------------ API
+
+    def set_sun(self, direction, energy: float = 1.0, color=(1.0, 1.0, 1.0),
+                srgb_color: bool = False) -> None:
+        """The `sun.gd` binding: update the light; picked up at the next
+        texture-swap boundary (`cloud_sky.gd:165-167`)."""
+        self.sun = SunState(tuple(direction), float(energy), tuple(color))
+        self._sun_srgb = srgb_color
+
+    def set_config(self, config: CloudConfig) -> None:
+        """Dynamic parameter change; snapshotted at the next cycle boundary
+        (FrameData semantics)."""
+        self.config = config
+
+    def request_full_sky_init(self) -> None:
+        """`cloud_sky.gd:120-121`."""
+        self.needs_full_sky_init = True
+
+    # ------------------------------------------------------------ scheduling
+
+    def _now(self, now: Optional[float]) -> float:
+        if now is not None:
+            return float(now)
+        if self._start_time is None:
+            self._start_time = _time.monotonic()
+        return _time.monotonic() - self._start_time
+
+    def _refresh_frame_data(self, now: float) -> None:
+        """`_update_per_frame_data` (`cloud_sky.gd:165-187`) minus the LUT
+        dispatch (handled by the caller)."""
+        self.frame_data.update_light_data(self.sun, getattr(self, "_sun_srgb", False))
+        self.frame_data.update_config(self.config)
+        self.frame_data.integrate_wind(now)
+        self._march_params = self.frame_data.to_march_params()
+
+    def _render_sky_lut(self) -> None:
+        """One LUT render + ring rotation (`sky_lut.gd:122-148`), three times
+        on first use so all slots are valid (`sky_lut.gd:49-52`)."""
+        renders = 3 if self._sky_lut_needs_full_update else 1
+        self._sky_lut_needs_full_update = False
+        sun_dir = jnp.asarray(self.frame_data.light_direction, jnp.float32)
+        for _ in range(renders):
+            self.sky_ring = _update_sky_lut_slot(
+                self.sky_ring, self.ring.sky_lut_current, self.transmittance, sun_dir
+            )
+            self.ring.advance_sky_lut()
+
+    def initialize_sky(self, now: float) -> None:
+        """Warm start (`cloud_sky.gd:123-127`): 2×frames_to_update synchronous
+        updates so the sky is complete on the first visible frame."""
+        self._refresh_frame_data(now)
+        self._render_sky_lut()
+        for _ in range(self.perf.frames_to_update * 2):
+            self.update_sky(now)
+
+    def update_sky(self, now: Optional[float] = None) -> None:
+        """One per-frame tick (`cloud_sky.gd:129-163`): rotate rings at cycle
+        boundaries, refresh FrameData + sky LUT, dispatch one tile update,
+        advance the cursor."""
+        now = self._now(now)
+        if self.needs_full_sky_init:
+            self.needs_full_sky_init = False
+            self.initialize_sky(now)
+
+        if self.ring.frame >= self.perf.frames_to_update:
+            self.ring.rotate_cloud()
+            self._refresh_frame_data(now)
+            self._render_sky_lut()
+
+        # Captured before the dispatch, exactly like `cloud_sky.gd:152`: the
+        # display this frame blends with frame/N for the tile count *before*
+        # this update.
+        self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
+
+        self.cloud_ring = _update_tile(
+            self.cloud_ring,
+            jnp.int32(self.ring.texture_to_update),
+            jnp.int32(self.ring.update_position[0]),
+            jnp.int32(self.ring.update_position[1]),
+            self._march_params,
+            self.noise,
+            self.sky_ring[self.ring.cloud_kernel_sky_slot],
+            texture_size=self.perf.texture_size,
+            region=self.perf.update_region_size,
+            steps=self.perf.march_steps,
+            light_steps=self.perf.light_steps,
+        )
+        self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
+
+    # --------------------------------------------------------------- display
+
+    @property
+    def blend_amount(self) -> float:
+        return getattr(
+            self, "_blend_amount", self.ring.blend_amount(self.perf.frames_to_update)
+        )
+
+    def render_view(self, eyedirs) -> jax.Array:
+        """Composite the current sky for arbitrary view directions
+        (`clouds.gdshader:104-116` equivalent). eyedirs: [..., 3] world."""
+        b0, b1 = self.ring.sky_back_textures
+        return composite(
+            jnp.asarray(eyedirs, jnp.float32),
+            self.cloud_ring[self.ring.texture_to_blend_from],
+            self.cloud_ring[self.ring.texture_to_blend_to],
+            self.sky_ring[b0],
+            self.sky_ring[b1],
+            self.transmittance,
+            jnp.float32(self.blend_amount),
+            jnp.asarray(self.frame_data.light_direction, jnp.float32),
+            jnp.float32(self.config.sun_disk_scale),
+        )
+
+    def render_full_hemisphere(self, params: Optional[MarchParams] = None,
+                               sky_img=None) -> jax.Array:
+        """Monolithic full-map render (no amortization) — the benchmark path
+        and the oracle for temporal-consistency tests."""
+        if params is None:
+            params = self._march_params
+        if sky_img is None:
+            sky_img = self.sky_ring[self.ring.cloud_kernel_sky_slot]
+        dirs = texel_directions(self.perf.texture_size)
+        return march(dirs, params, self.noise, sky_img,
+                     steps=self.perf.march_steps,
+                     light_steps=self.perf.light_steps)
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save(self) -> Dict[str, Any]:
+        """Checkpointable state pytree: parameters, wind integrals, ring
+        indices, and the texture rings (SURVEY.md §5 checkpoint/resume)."""
+        return {
+            "perf": dataclasses.asdict(self.perf),
+            "config": dataclasses.asdict(self.config),
+            "sun": dataclasses.asdict(self.sun),
+            "frame_data": dataclasses.asdict(self.frame_data),
+            "ring": dataclasses.asdict(self.ring),
+            "cloud_ring": np.asarray(self.cloud_ring),
+            "sky_ring": np.asarray(self.sky_ring),
+            "sky_lut_needs_full_update": self._sky_lut_needs_full_update,
+            "blend_amount": self.blend_amount,
+        }
+
+    def restore(self, state: Dict[str, Any]) -> None:
+        self.perf = PerfConfig(**state["perf"]).validate()
+        self.config = CloudConfig(**{
+            k: tuple(v) if isinstance(v, (list, tuple)) else v
+            for k, v in state["config"].items()
+        })
+        self.sun = SunState(**{
+            k: tuple(v) if isinstance(v, (list, tuple)) else v
+            for k, v in state["sun"].items()
+        })
+        fd = FrameData()
+        for k, v in state["frame_data"].items():
+            setattr(fd, k, np.asarray(v) if isinstance(v, (list, np.ndarray)) else v)
+        self.frame_data = fd
+        ring = RingState()
+        for k, v in state["ring"].items():
+            setattr(ring, k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        self.ring = ring
+        self.cloud_ring = jnp.asarray(state["cloud_ring"])
+        self.sky_ring = jnp.asarray(state["sky_ring"])
+        self._sky_lut_needs_full_update = state["sky_lut_needs_full_update"]
+        self._blend_amount = state.get("blend_amount", 0.0)
+        self.needs_full_sky_init = False
+        self._march_params = self.frame_data.to_march_params()

@@ -1,0 +1,117 @@
+"""Display composite stage — jitted equivalent of `cloud_sky/clouds.gdshader`.
+
+The only full-rate stage in the reference (runs per screen pixel each frame).
+Takes explicit camera ray directions and sun direction in place of Godot's
+`EYEDIR`/`LIGHT0_DIRECTION` built-ins: octahedral-decodes the two cloud blend
+buffers, blends the two sky-LUT backbuffers, draws the sun disk with bloom
+attenuated by the transmittance LUT, and applies the horizon fade
+(`clouds.gdshader:104-116`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cloudscape_tpu.ops import math as m
+from cloudscape_tpu.ops.octmap import world_dir_to_uv
+from cloudscape_tpu.ops.sampling import sample2d
+
+# Megameter-unit geometry of the composite shader (`clouds.gdshader:72-75`).
+GROUND_RADIUS_MM = 6.360
+ATMOSPHERE_RADIUS_MM = 6.460
+VIEW_POS_MM = jnp.array([0.0, GROUND_RADIUS_MM + 0.0002, 0.0], jnp.float32)
+
+_PI = jnp.pi  # Godot's shader PI built-in (full precision, unlike clouds.glsl)
+
+
+def sky_lut_blend(sky_from, sky_to, ray_dir, blend_amount):
+    """`clouds.gdshader:34-45`: blended equirect lookup with the /50 exposure
+    normalization constant."""
+    phi = jnp.arctan2(ray_dir[..., 2], ray_dir[..., 0])
+    theta = jnp.arcsin(jnp.clip(ray_dir[..., 1], -1.0, 1.0))
+    u = phi / _PI * 0.5 + 0.5
+    v = jnp.sqrt(jnp.abs(theta) / (_PI * 0.5)) * jnp.sign(theta) * 0.5 + 0.5
+    uv = jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
+    a = sample2d(sky_from, uv, wrap="clamp")[..., :3]
+    b = sample2d(sky_to, uv, wrap="clamp")[..., :3]
+    return (a + (b - a) * blend_amount) / 50.0
+
+
+def sun_with_bloom(ray_dir, sun_dir, sun_disk_scale):
+    """Solid sun disk + gaussian/inverse bloom (`clouds.gdshader:47-59`)."""
+    sun_solid_angle = sun_disk_scale * (0.53 * _PI / 180.0)
+    min_cos = jnp.cos(sun_solid_angle)
+    cos_theta = jnp.sum(ray_dir * sun_dir, axis=-1)
+    offset = jnp.maximum(min_cos - cos_theta, 0.0)
+    gaussian = jnp.exp(-offset * 50000.0) * 0.5
+    inv = 1.0 / (0.02 + offset * 300.0) * 0.01
+    lum = jnp.where(cos_theta >= min_cos, 1.0, gaussian + inv)
+    return lum[..., None] * jnp.ones((3,), jnp.float32)
+
+
+def transmittance_lookup(tlut, pos_mm, sun_dir):
+    """`clouds.gdshader:77-85` in megameter units."""
+    height = jnp.linalg.norm(pos_mm, axis=-1)
+    up = pos_mm / height[..., None]
+    sun_cos_zenith = jnp.sum(up * sun_dir, axis=-1)
+    u = jnp.clip(0.5 + 0.5 * sun_cos_zenith, 0.0, 1.0)
+    v = jnp.clip(
+        (height - GROUND_RADIUS_MM) / (ATMOSPHERE_RADIUS_MM - GROUND_RADIUS_MM),
+        0.0,
+        1.0,
+    )
+    uv = jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
+    return sample2d(tlut, uv, wrap="clamp")[..., :3]
+
+
+def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
+             sun_disk_scale):
+    """Background atmosphere + sun (`clouds.gdshader:87-102`)."""
+    col = sky_lut_blend(sky_from, sky_to, eyedir, blend_amount)
+    sun_lum = m.smoothstep(0.002, 1.0, sun_with_bloom(eyedir, sun_dir, sun_disk_scale))
+    view_pos = jnp.broadcast_to(VIEW_POS_MM, eyedir.shape)
+    hits_ground = m.ray_sphere_first(view_pos, eyedir, GROUND_RADIUS_MM) >= 0.0
+    tl = transmittance_lookup(tlut, view_pos, sun_dir)
+    has_sun = (jnp.linalg.norm(sun_lum, axis=-1) > 0.0)[..., None]
+    sun_lum = jnp.where(
+        has_sun, jnp.where(hits_ground[..., None], 0.0, sun_lum * tl), sun_lum
+    )
+    return col + sun_lum
+
+
+@partial(jax.jit, static_argnames=())
+def composite(eyedir, cloud_from, cloud_to, sky_from, sky_to, tlut,
+              blend_amount, sun_dir, sun_disk_scale):
+    """Full sky() entry point (`clouds.gdshader:104-116`).
+
+    eyedir: [..., 3] world view directions. cloud_from/to: the two blending
+    hemisphere maps [N, N, 4]; sky_from/to: the two sky-LUT backbuffers;
+    tlut: transmittance LUT. Returns [..., 3] linear HDR color.
+    """
+    eyedir = jnp.asarray(eyedir, jnp.float32)
+    norm = eyedir.at[..., 1].set(jnp.maximum(0.0, eyedir[..., 1]))
+    # Straight-down view dirs clamp to the zero vector; their cloud sample is
+    # fully horizon-faded (`clouds.gdshader:115` fade = 1 for y <= 0), so any
+    # valid direction works — guard the normalize against 0/0.
+    n_len = jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    norm = jnp.where(
+        n_len > 0.0, norm / jnp.maximum(n_len, 1e-12),
+        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+    )
+
+    oct_uv = world_dir_to_uv(norm)
+    blend_from = sample2d(cloud_from, oct_uv, wrap="clamp")
+    blend_to = sample2d(cloud_to, oct_uv, wrap="clamp")
+    clouds = blend_from + (blend_to - blend_from) * blend_amount
+
+    background = get_atmo(
+        eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir, sun_disk_scale
+    )
+    color = background * (1.0 - clouds[..., 3:4]) + clouds[..., :3]
+    fade = m.smoothstep(0.6, 1.0, 1.0 - eyedir[..., 1])[..., None]
+    c = jnp.clip(color, 0.0, 100.0)
+    b = jnp.clip(background, 0.0, 100.0)
+    return c + (b - c) * fade

@@ -1,0 +1,183 @@
+"""Engine scheduling semantics: amortized updates, triple-buffering, wind
+integration, warm start, checkpoint/resume (SURVEY.md §4 integration tests).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
+from cloudscape_tpu.engine import CloudSkyEngine
+from cloudscape_tpu.models.packs import make_noise_pack
+from cloudscape_tpu.temporal import FrameData, RingState
+
+
+TINY_PERF = PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
+                       light_steps=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_noise():
+    from cloudscape_tpu.ops.noise import generate_base_noise, generate_detail_noise
+    from cloudscape_tpu.utils.assets import load_bmp
+
+    # Shipped weather map + tiny procedural volumes: guarantees actual cloud
+    # coverage so the buffers are visibly non-empty.
+    return make_noise_pack(
+        generate_base_noise(16, seed=1),
+        generate_detail_noise(16, seed=2),
+        load_bmp("/root/reference/cloud_sky/weather.bmp"),
+    )
+
+
+@pytest.fixture()
+def engine(tiny_noise):
+    return CloudSkyEngine(
+        perf=TINY_PERF,
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=(0.3, 0.5, -0.8)),
+        noise=tiny_noise,
+    )
+
+
+def test_perf_validation_auto_corrects():
+    # 100 is not a multiple of sqrt(16)=4 → corrected down like
+    # `cloud_sky.gd:110-115`.
+    p = PerfConfig(texture_size=102, frames_to_update=16).validate()
+    assert p.texture_size == 100
+    assert p.update_region_size == 25
+    with pytest.raises(ValueError):
+        PerfConfig(frames_to_update=7).validate()
+
+
+def test_wind_integration_formula():
+    fd = FrameData()
+    fd.update_config(CloudConfig(wind_direction=np.pi / 2, wind_speed=10.0,
+                                 time_offset=2.0))
+    fd.time = 100.0
+    fd.integrate_wind(103.0)  # delta = 3
+    w = np.array([np.cos(np.pi / 2), np.sin(np.pi / 2)])
+    np.testing.assert_allclose(fd.detailed_pos, 3.0 * w, atol=1e-12)
+    np.testing.assert_allclose(fd.cloud_pos, 3.0 * w * 10.0, atol=1e-12)
+    np.testing.assert_allclose(
+        fd.weather_pos, (3.0 * 0.001 + 0.005 * 2.0) * w * 10.0, atol=1e-12
+    )
+    assert fd.time == 103.0
+
+
+def test_ring_rotation_and_lut_phasing():
+    r = RingState()
+    assert (r.texture_to_update, r.texture_to_blend_from, r.texture_to_blend_to) == (0, 1, 2)
+    r.rotate_cloud()
+    assert (r.texture_to_update, r.texture_to_blend_from, r.texture_to_blend_to) == (1, 2, 0)
+    # Sky LUT ring: after writing slot s the kernel must read the newest slot
+    # (`cloud_sky.gd:242`: (current+2)%3 == just-written).
+    for _ in range(5):
+        written = r.sky_lut_current
+        r.advance_sky_lut()
+        assert r.cloud_kernel_sky_slot == written
+        assert r.sky_back_textures == ((written + 1) % 3, (written + 2) % 3)
+
+
+def test_cursor_sweep_row_major():
+    r = RingState()
+    seen = []
+    for _ in range(16):
+        seen.append(r.update_position)
+        r.advance_cursor(8, 32)
+    assert seen[:5] == [(0, 0), (8, 0), (16, 0), (24, 0), (0, 8)]
+    assert seen[-1] == (24, 24)
+    assert r.update_position == (0, 0)  # wrapped
+    assert r.frame == 16
+
+
+def test_warm_start_fills_all_buffers(engine):
+    engine.update_sky(now=0.0)  # triggers initialize_sky
+    # All three cloud buffers must contain a complete sky (alpha rendered
+    # everywhere above horizon → some nonzero texels in every buffer).
+    ring = np.asarray(engine.cloud_ring)
+    for i in range(3):
+        assert np.abs(ring[i]).max() > 0.0, f"buffer {i} empty after warm start"
+    assert not engine.needs_full_sky_init
+
+
+def test_amortized_cycle_equals_monolithic(engine):
+    """After one full cycle at a static scene, the completed buffer must be
+    bitwise-identical to a monolithic full-hemisphere render with the same
+    snapshot (the amortizer is a pure tiling of the same math)."""
+    engine.update_sky(now=0.0)  # warm start
+    # Step to the next rotation boundary.
+    while engine.ring.frame < engine.perf.frames_to_update:
+        engine.update_sky(now=0.0)
+    engine.update_sky(now=0.0)  # rotates, then renders tile 0
+    completed = np.asarray(engine.cloud_ring)[engine.ring.texture_to_blend_to]
+    mono = np.asarray(engine.render_full_hemisphere())
+    np.testing.assert_array_equal(completed, mono)
+
+
+def test_blend_amount_progression(engine):
+    engine.update_sky(now=0.0)
+    n = engine.perf.frames_to_update
+    # Next tick after warm start: blend restarts from frame/N progression.
+    values = []
+    for _ in range(n):
+        engine.update_sky(now=0.0)
+        values.append(engine.blend_amount)
+    # Must sweep k/N for k = frame-before-dispatch; strictly monotone within a
+    # cycle, resetting to 0 at rotation.
+    assert max(values) <= 1.0 - 1.0 / n + 1e-9
+    assert min(values) >= 0.0
+    diffs = np.diff(values)
+    resets = (diffs < 0).sum()
+    assert resets <= 1  # at most one rotation in n ticks
+    assert np.all((np.abs(diffs - 1.0 / n) < 1e-9) | (diffs < 0))
+
+
+def test_render_view_shapes(engine):
+    engine.update_sky(now=0.0)
+    dirs = np.array([[0.0, 1.0, 0.0], [0.7, 0.3, 0.6], [0.0, -1.0, 0.0]])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    img = np.asarray(engine.render_view(jnp.asarray(dirs, jnp.float32)))
+    assert img.shape == (3, 3)
+    assert np.all(np.isfinite(img))
+    assert img.min() >= 0.0
+
+
+def test_save_restore_roundtrip(engine, tiny_noise):
+    engine.update_sky(now=0.0)
+    for i in range(5):
+        engine.update_sky(now=0.1 * i)
+    state = engine.save()
+
+    fresh = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise)
+    fresh.restore(state)
+    assert fresh.ring.frame == engine.ring.frame
+    assert fresh.ring.update_position == engine.ring.update_position
+    np.testing.assert_array_equal(
+        np.asarray(fresh.cloud_ring), np.asarray(engine.cloud_ring)
+    )
+
+    # Continued stepping must agree exactly.
+    engine.update_sky(now=1.0)
+    fresh.update_sky(now=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.cloud_ring), np.asarray(engine.cloud_ring)
+    )
+    assert fresh.blend_amount == engine.blend_amount
+
+
+def test_sun_change_picked_up_at_cycle_boundary(engine):
+    engine.update_sky(now=0.0)
+    old_dir = engine.frame_data.light_direction.copy()
+    engine.set_sun((0.9, 0.2, 0.1), energy=2.0)
+    # Mid-cycle: snapshot unchanged (FrameData semantics).
+    engine.update_sky(now=0.0)
+    np.testing.assert_array_equal(engine.frame_data.light_direction, old_dir)
+    # Cross the boundary: snapshot refreshes.
+    while engine.ring.frame < engine.perf.frames_to_update:
+        engine.update_sky(now=0.0)
+    engine.update_sky(now=0.0)
+    assert not np.allclose(engine.frame_data.light_direction, old_dir)
+    assert engine.frame_data.light_energy == 2.0
