@@ -1,0 +1,104 @@
+"""Headline benchmark: full 1024×512 hemisphere re-render on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...extras}
+
+Baseline (BASELINE.md): < 16 ms for a full 1024×512-ray re-render at 128
+march steps on one v5e chip. `vs_baseline` is 16 / measured_ms (>1 = faster
+than target). Runs on the default platform (the real TPU under axon); do NOT
+run concurrently with any other TPU process.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+import numpy as np
+
+BASELINE_MS = 16.0
+WIDTH, HEIGHT = 1024, 512
+STEPS = 128
+
+
+def hemisphere_dirs(width: int, height: int) -> np.ndarray:
+    """Lat-long grid over the upper hemisphere: width azimuths × height
+    elevations, y-up world frame — width*height independent rays."""
+    az = (np.arange(width) + 0.5) / width * 2.0 * np.pi - np.pi
+    el = (np.arange(height) + 0.5) / height * (np.pi / 2.0)
+    cos_el = np.cos(el)[:, None]
+    d = np.stack(
+        [
+            cos_el * np.cos(az)[None, :],
+            np.broadcast_to(np.sin(el)[:, None], (height, width)),
+            cos_el * np.sin(az)[None, :],
+        ],
+        axis=-1,
+    )
+    return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cloudscape_tpu.models import atmosphere
+    from cloudscape_tpu.models.density import MarchParams
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+    from cloudscape_tpu.models.packs import reference_noise_pack
+
+    dev = jax.devices()[0]
+
+    noise = reference_noise_pack()
+    bricks = BrickPack.from_noise(noise)
+    tlut = atmosphere.transmittance_lut()
+    sun = np.array([0.3, 0.4, -0.85])
+    sun /= np.linalg.norm(sun)
+    sky = atmosphere.sky_lut(tlut, jnp.asarray(sun, jnp.float32))
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]),
+        detailed_pos=np.array([0.4, 0.2]),
+        weather_pos=np.array([0.01, 0.02]),
+        time=12.5,
+        cloud_coverage=0.35,
+        light_direction=sun,
+        ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    dirs = jnp.asarray(hemisphere_dirs(WIDTH, HEIGHT))
+
+    fn = jax.jit(
+        lambda d, p: march_bricks(d, p, bricks, sky, steps=STEPS, chunk=32768)
+    )
+    out = np.asarray(jax.block_until_ready(fn(dirs, params)))  # compile + warm
+    assert np.isfinite(out).all(), "benchmark render produced non-finite values"
+    assert (out[..., 3] > 0.1).mean() > 0.02, "benchmark scene rendered no clouds"
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        # Host readback: honest end-to-end timing through the async dispatch
+        # pipeline (block_until_ready alone under-reports via the relay).
+        np.asarray(jax.block_until_ready(fn(dirs, params)))
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = statistics.median(times)
+    mrays = WIDTH * HEIGHT / (ms * 1e-3) / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "hemisphere_1024x512_rerender",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+                "mrays_per_sec_per_chip": round(mrays, 2),
+                "march_steps": STEPS,
+                "device": str(dev),
+                "all_ms": [round(t, 2) for t in times],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

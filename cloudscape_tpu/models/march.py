@@ -170,11 +170,13 @@ def march(dirs, params: MarchParams, noise: NoisePack, sky_lut_img,
         T = T * dt
         return (p, T, alpha, L), None
 
+    # Derive the carry init from varying inputs (ss/p0) so the scan carry has
+    # consistent varying-manual-axes under shard_map.
     init = (
         p0,
-        jnp.ones(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape + (3,), jnp.float32),
+        jnp.ones_like(ss),
+        jnp.zeros_like(ss),
+        jnp.zeros_like(p0),
     )
     (_, _, alpha, L), _ = jax.lax.scan(step_fn, init, None, length=steps)
 

@@ -1,0 +1,256 @@
+"""Fast cloud raymarch: brick-row gathers + scan-free prefix-product march.
+
+Same math as `models/march.py` (the semantics reference, itself gated against
+the f64 oracle), restructured for the TPU memory system per
+docs/PERF_NOTES.md:
+
+1. Texture fetches go through 128-lane brick rows (`ops/brick.py`) — one
+   gather row per filtered sample instead of 8 corner rows + mip stacking.
+2. The march has NO `lax.scan` over steps. All (ray, step) samples are
+   computed fully parallel (Phase A); the accumulation recurrence of
+   `clouds.glsl:206-210` is associative, so Phase B is a prefix product:
+
+       1 - alpha_total = prod_i dt_i
+       L = sum_i (prod_{k<i} dt_k) * radiance_i * (1 - dt_i) / max(t_i, 1e-7)
+
+3. Sample positions use the closed form p_i = p0 + dir * ss * i instead of
+   iterative accumulation (differences are sub-centimeter at f32 — far below
+   the noise texel scale; verified > 40 dB vs `march` in tests).
+
+Rays are processed in chunks via `lax.map` inside one jit so peak HBM for the
+gather rows stays bounded while the dispatch count stays at 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudscape_tpu.config import GROUND_RADIUS, SKY_B_RADIUS, SKY_T_RADIUS
+from cloudscape_tpu.models.density import MarchParams, NoisePack
+from cloudscape_tpu.models.march import RANDOM_VECTORS, ambient_colors
+from cloudscape_tpu.ops import math as m
+from cloudscape_tpu.ops.brick import (
+    BrickTable2D,
+    BrickTable3D,
+    TinyVolume3D,
+    build_brick2,
+    build_brick3,
+    build_tiny3,
+    sample_brick2,
+    sample_brick3,
+    sample_tiny3,
+)
+
+Volume = Union[BrickTable3D, TinyVolume3D]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BrickPack:
+    """Brick-table mirror of a NoisePack with channels precombined
+    (exact: FBM dot products and box-filter mips commute with lerp):
+    large → (R, FBM), small → (hfbm), weather → (cloud_type, coverage)."""
+
+    large: Tuple[Volume, ...]
+    small: Tuple[Volume, ...]
+    weather: BrickTable2D
+
+    @staticmethod
+    def from_noise(noise: NoisePack) -> "BrickPack":
+        large_levels = []
+        for lvl in noise.large:
+            a = np.asarray(lvl)
+            combined = np.stack(
+                [a[..., 0], a[..., 1] * 0.625 + a[..., 2] * 0.25 + a[..., 3] * 0.125],
+                axis=-1,
+            )
+            if combined.size <= 128:
+                large_levels.append(build_tiny3(combined))
+            else:
+                large_levels.append(build_brick3(combined, (4, 4, 4), (3, 3, 3)))
+        small_levels = []
+        for lvl in noise.small:
+            a = np.asarray(lvl)
+            combined = (
+                a[..., 0] * 0.625 + a[..., 1] * 0.25 + a[..., 2] * 0.125
+            )[..., None]
+            if combined.size <= 128:
+                small_levels.append(build_tiny3(combined))
+            else:
+                small_levels.append(build_brick3(combined, (8, 4, 4), (7, 3, 3)))
+        w = np.asarray(noise.weather)
+        weather = build_brick2(
+            np.stack([w[..., 0], w[..., 2]], axis=-1), (8, 8), (7, 7)
+        )
+        return BrickPack(large=tuple(large_levels), small=tuple(small_levels),
+                         weather=weather)
+
+
+def _sample_volume(vol: Volume, q):
+    if isinstance(vol, TinyVolume3D):
+        return sample_tiny3(vol, q)
+    return sample_brick3(vol, q)
+
+
+def _weather_rb(bp: BrickPack, pxz, weather_pos):
+    """(cloud_type, coverage) weather fetch (`clouds.glsl:169-174`)."""
+    return sample_brick2(bp.weather, pxz * 0.00006 + 0.5 + weather_pos)
+
+
+def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
+                    bp: BrickPack):
+    """Schneider density (`clouds.glsl:109-137`) on brick tables.
+
+    weather_rb: [..., 2] = (cloud_type, coverage·weather) pre-fetched.
+    Returns (density, height_fraction)."""
+    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+
+    offset = 20.0 * params.cloud_pos * 0.6
+    p_base = jnp.stack(
+        [p[..., 0] + offset[0], p[..., 1], p[..., 2] + offset[1]], axis=-1
+    )
+
+    lod_l = int(min(max(mip - 2.0, 0.0), len(bp.large) - 1))
+    n = _sample_volume(bp.large[lod_l], p_base * 0.00008)  # [..., 2] (R, FBM)
+
+    g = m.density_height_gradient(hf, weather_rb[..., 0])
+    base_cloud = m.remap(n[..., 0], -(1.0 - n[..., 1]), 1.0, 0.0, 1.0)
+    weather_coverage = params.cloud_coverage * weather_rb[..., 1]
+    base_cloud = (base_cloud * g - (1.0 - weather_coverage)) / jnp.maximum(
+        weather_coverage, 1e-6
+    )
+    base_cloud = base_cloud * weather_coverage
+
+    p_det = jnp.stack(
+        [
+            p_base[..., 0] - params.detailed_pos[0] * 40.0,
+            p_base[..., 1] - params.time * 40.0,
+            p_base[..., 2] - params.detailed_pos[1] * 40.0,
+        ],
+        axis=-1,
+    )
+    lod_s = int(min(max(mip, 0.0), len(bp.small) - 1))
+    hfbm = _sample_volume(bp.small[lod_s], p_det * 0.001)[..., 0]
+    hfbm = hfbm + (1.0 - 2.0 * hfbm) * jnp.clip(hf * 4.0, 0.0, 1.0)
+    base_cloud = m.remap(base_cloud, hfbm * 0.4 * hf, 1.0, 0.0, 1.0)
+    return jnp.power(jnp.clip(base_cloud, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5), hf
+
+
+def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
+                 steps: int, light_steps: int):
+    """Phase A+B for one chunk of rays. dirs: [n, 3] → [n, 4]."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    above = dirs[..., 1] > 0.0
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    ndir = jnp.where(above[..., None], dirs, up)
+
+    cam = jnp.array([0.0, GROUND_RADIUS, 0.0], jnp.float32)
+    cam_b = jnp.broadcast_to(cam, ndir.shape)
+    start = cam + ndir * m.intersect_sphere_far(cam_b, ndir, SKY_B_RADIUS)[..., None]
+    end = cam + ndir * m.intersect_sphere_far(cam_b, ndir, SKY_T_RADIUS)[..., None]
+    ss = jnp.linalg.norm(end - start, axis=-1) / steps
+    p0 = start + ndir * (m.hash_iq(start * 10.0) * ss)[..., None]
+
+    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
+    ldir = params.light_direction / jnp.linalg.norm(params.light_direction)
+
+    costheta = jnp.sum(ldir * ndir, axis=-1)
+    phase = jnp.maximum(
+        jnp.maximum(
+            m.henyey_greenstein(costheta, 0.6),
+            m.henyey_greenstein(costheta, 0.4 - 1.4 * ldir[1]),
+        ),
+        m.henyey_greenstein(costheta, -0.2),
+    )
+
+    light_offsets = jnp.cumsum(
+        (ldir[None, :] + RANDOM_VECTORS[:light_steps]
+         * jnp.arange(light_steps, dtype=jnp.float32)[:, None]) * lss,
+        axis=0,
+    )
+    distant_offset = ldir * (18.0 * lss)
+
+    # Phase A — all samples in parallel: p[n, steps, 3].
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    p = p0[:, None, :] + ndir[:, None, :] * (ss[:, None] * i_step[None, :])[..., None]
+
+    xz = jnp.array([0, 2])
+    weather = _weather_rb(bp, p[..., xz], params.weather_pos)
+    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+
+    t, _ = _density_bricks(p, weather, 0.0, params, bp)
+    dt = jnp.exp(-params.density * t * ss[:, None])
+
+    cd = jnp.zeros_like(t)
+    for j in range(light_steps):
+        lp = p + light_offsets[j]
+        lweather = _weather_rb(bp, lp[..., xz], params.weather_pos)
+        lt, _ = _density_bricks(lp, lweather, float(j), params, bp)
+        cd = cd + lt
+
+    lp = p + distant_offset
+    lhf = m.height_fraction(jnp.linalg.norm(lp, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+    # Quirk preserved: no + weather_pos on the distant sample (`clouds.glsl:197`).
+    lweather = sample_brick2(bp.weather, lp[..., xz] * 0.00006 + 0.5)
+    ldens, _ = _density_bricks(lp, lweather, 5.0, params, bp)
+    cd = cd + jnp.power(ldens, (1.0 - lhf) * 0.8 + 0.5)
+
+    beers = jnp.exp(-params.density * cd * lss * 3.0)
+    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
+    beers_total = 2.0 * beers * powder
+
+    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
+        m.smoothstep(0.0, 1.0, hf)[..., None]
+    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
+        * t[..., None]
+
+    # Phase B — prefix-product accumulation.
+    t_prefix = jnp.concatenate(
+        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
+    )
+    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
+        jnp.maximum(1e-7, t)[..., None]
+    L = jnp.sum(contrib, axis=1)
+    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+
+    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
+    return jnp.where(above[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk"))
+def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
+                 steps: int = 128, light_steps: int = 6, chunk: int = 16384):
+    """Fast march over world directions. dirs: [..., 3] → [..., 4].
+
+    chunk bounds peak HBM for the gather rows (chunk·steps·512 B per live
+    gather buffer); the chunk loop runs inside this jit via `lax.map` so the
+    whole call is one dispatch.
+    """
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+
+    atmos = ambient_colors(params, sky_lut_img)
+
+    if n <= chunk:
+        out = _march_chunk(flat, params, bp, atmos, steps, light_steps)
+        return out.reshape(shape + (4,))
+
+    n_pad = (-n) % chunk
+    flat = jnp.concatenate(
+        [flat, jnp.broadcast_to(up_pad := jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                                (n_pad, 3))], axis=0
+    ) if n_pad else flat
+    blocks = flat.reshape(-1, chunk, 3)
+    out = jax.lax.map(
+        lambda d: _march_chunk(d, params, bp, atmos, steps, light_steps), blocks
+    )
+    out = out.reshape(-1, 4)[:n]
+    return out.reshape(shape + (4,))

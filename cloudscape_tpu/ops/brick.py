@@ -1,0 +1,229 @@
+"""Brick-row texture tables: TPU-shaped filtered texture sampling.
+
+XLA's TPU gather is row-latency-bound (~3 ns/row) and pads gathered rows to
+128 lanes (docs/PERF_NOTES.md), so the fast sampling path reshapes each noise
+texture into a table of 128-lane *bricks*:
+
+- 3D, 2 channels:  4×4×4 texels × 2ch  = 128 lanes, brick stride 3
+- 3D, 1 channel :  8×4×4 texels × 1ch  = 128 lanes, strides (7, 3, 3)
+- 2D, 2 channels:  8×8 texels   × 2ch  = 128 lanes, brick stride 7
+
+Brick stride ≤ brick_dim - 1 guarantees any trilinear/bilinear footprint
+(cells i0, i0+1 per axis) lies inside a single brick; bricks are built
+wrap-aware (texels taken mod N) so GL_REPEAT sampling works across edges.
+One gather row per filtered sample replaces the 8 corner gathers + mip
+stacking of `ops/sampling.py` (which remains the semantics reference).
+
+Filtering happens as a lane-weight reduction: per-sample weights are built by
+comparing static lane iotas against the sample's local corner index and
+fraction, then the gathered row is reduced over lanes — no second gather.
+
+Volumes small enough to fit one row (≤ 4³×2ch / 8×4×4×1ch) skip the gather
+entirely: the whole volume is a broadcast constant row with modular-wrap
+corner weights (`sample_tiny3`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _static_field(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BrickTable3D:
+    """[n_bricks, lanes] table of 3D bricks. Lane order: c-major blocks of
+    (z*by + y)*bx + x."""
+
+    table: jax.Array
+    dims: Tuple[int, int, int] = _static_field(default=(0, 0, 0))  # (D, H, W)
+    brick: Tuple[int, int, int] = _static_field(default=(4, 4, 4))  # (bz, by, bx)
+    stride: Tuple[int, int, int] = _static_field(default=(3, 3, 3))
+    grid: Tuple[int, int, int] = _static_field(default=(0, 0, 0))  # brick counts
+    channels: int = _static_field(default=2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BrickTable2D:
+    table: jax.Array
+    dims: Tuple[int, int] = _static_field(default=(0, 0))  # (H, W)
+    brick: Tuple[int, int] = _static_field(default=(8, 8))  # (by, bx)
+    stride: Tuple[int, int] = _static_field(default=(7, 7))
+    grid: Tuple[int, int] = _static_field(default=(0, 0))
+    channels: int = _static_field(default=2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TinyVolume3D:
+    """A whole ≤1-row volume, kept as a flat constant row (no gather)."""
+
+    row: jax.Array  # [D*H*W*C] flattened, c-major blocks
+    dims: Tuple[int, int, int] = _static_field(default=(0, 0, 0))
+    channels: int = _static_field(default=1)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def build_brick3(volume: np.ndarray, brick=(4, 4, 4), stride=(3, 3, 3)
+                 ) -> BrickTable3D:
+    """volume: [D, H, W, C] float; returns the brick table (host-built)."""
+    volume = np.asarray(volume, np.float32)
+    d, h, w, c = volume.shape
+    bz, by, bx = brick
+    sz, sy, sx = stride
+    assert sz <= bz - 1 and sy <= by - 1 and sx <= bx - 1
+    nz, ny, nx = _cdiv(d, sz), _cdiv(h, sy), _cdiv(w, sx)
+
+    zz = (np.arange(nz)[:, None] * sz + np.arange(bz)[None, :]) % d  # [nz, bz]
+    yy = (np.arange(ny)[:, None] * sy + np.arange(by)[None, :]) % h
+    xx = (np.arange(nx)[:, None] * sx + np.arange(bx)[None, :]) % w
+    # bricks[nz, ny, nx, bz, by, bx, c]
+    bricks = volume[
+        zz[:, None, None, :, None, None],
+        yy[None, :, None, None, :, None],
+        xx[None, None, :, None, None, :],
+    ]
+    # lane order: channel-major, then (z, y, x)
+    lanes = bricks.transpose(0, 1, 2, 6, 3, 4, 5).reshape(nz * ny * nx, c * bz * by * bx)
+    return BrickTable3D(
+        table=jnp.asarray(lanes), dims=(d, h, w), brick=brick, stride=stride,
+        grid=(nz, ny, nx), channels=c,
+    )
+
+
+def build_brick2(image: np.ndarray, brick=(8, 8), stride=(7, 7)) -> BrickTable2D:
+    image = np.asarray(image, np.float32)
+    h, w, c = image.shape
+    by, bx = brick
+    sy, sx = stride
+    assert sy <= by - 1 and sx <= bx - 1
+    ny, nx = _cdiv(h, sy), _cdiv(w, sx)
+    yy = (np.arange(ny)[:, None] * sy + np.arange(by)[None, :]) % h
+    xx = (np.arange(nx)[:, None] * sx + np.arange(bx)[None, :]) % w
+    bricks = image[yy[:, None, :, None], xx[None, :, None, :]]  # [ny,nx,by,bx,c]
+    lanes = bricks.transpose(0, 1, 4, 2, 3).reshape(ny * nx, c * by * bx)
+    return BrickTable2D(
+        table=jnp.asarray(lanes), dims=(h, w), brick=brick, stride=stride,
+        grid=(ny, nx), channels=c,
+    )
+
+
+def build_tiny3(volume: np.ndarray) -> TinyVolume3D:
+    volume = np.asarray(volume, np.float32)
+    d, h, w, c = volume.shape
+    row = volume.transpose(3, 0, 1, 2).reshape(-1)
+    return TinyVolume3D(row=jnp.asarray(row), dims=(d, h, w), channels=c)
+
+
+def _axis_coords(q, n):
+    """GL filtering coords for one axis: returns (wrapped cell i0 [int32],
+    fraction f)."""
+    cx = q * n - 0.5
+    i0 = jnp.floor(cx)
+    f = cx - i0
+    i0 = jnp.remainder(i0.astype(jnp.int32), n)
+    return i0, f
+
+
+def _axis_weight(lane_idx, local0, frac, length):
+    """[..., L] weights for one axis: (1-f) at local0, f at local0+1."""
+    l0 = local0[..., None]
+    f = frac[..., None]
+    return jnp.where(lane_idx == l0, 1.0 - f, 0.0) + jnp.where(
+        lane_idx == l0 + 1, f, 0.0
+    )
+
+
+def sample_brick3(bt: BrickTable3D, q):
+    """Repeat-wrap trilinear fetch. q: [..., 3] (x, y, z) uv → [..., C]."""
+    d, h, w = bt.dims
+    bz, by, bx = bt.brick
+    sz, sy, sx = bt.stride
+    nz, ny, nx = bt.grid
+
+    ix0, fx = _axis_coords(q[..., 0], w)
+    iy0, fy = _axis_coords(q[..., 1], h)
+    iz0, fz = _axis_coords(q[..., 2], d)
+    gx, lx = ix0 // sx, ix0 % sx
+    gy, ly = iy0 // sy, iy0 % sy
+    gz, lz = iz0 // sz, iz0 % sz
+    fb = (gz * ny + gy) * nx + gx
+
+    rows = jnp.take(bt.table, fb, axis=0)  # [..., C*L]
+    L = bz * by * bx
+    lanes = np.arange(L)
+    lane_x = jnp.asarray(lanes % bx, jnp.int32)
+    lane_y = jnp.asarray((lanes // bx) % by, jnp.int32)
+    lane_z = jnp.asarray(lanes // (bx * by), jnp.int32)
+
+    wgt = (
+        _axis_weight(lane_x, lx, fx, bx)
+        * _axis_weight(lane_y, ly, fy, by)
+        * _axis_weight(lane_z, lz, fz, bz)
+    )  # [..., L]
+    rows = rows.reshape(rows.shape[:-1] + (bt.channels, L))
+    return jnp.sum(rows * wgt[..., None, :], axis=-1)
+
+
+def sample_brick2(bt: BrickTable2D, uv):
+    """Repeat-wrap bilinear fetch. uv: [..., 2] → [..., C]."""
+    h, w = bt.dims
+    by, bx = bt.brick
+    sy, sx = bt.stride
+    ny, nx = bt.grid
+
+    ix0, fx = _axis_coords(uv[..., 0], w)
+    iy0, fy = _axis_coords(uv[..., 1], h)
+    gx, lx = ix0 // sx, ix0 % sx
+    gy, ly = iy0 // sy, iy0 % sy
+    fb = gy * nx + gx
+
+    rows = jnp.take(bt.table, fb, axis=0)
+    L = by * bx
+    lanes = np.arange(L)
+    lane_x = jnp.asarray(lanes % bx, jnp.int32)
+    lane_y = jnp.asarray(lanes // bx, jnp.int32)
+    wgt = _axis_weight(lane_x, lx, fx, bx) * _axis_weight(lane_y, ly, fy, by)
+    rows = rows.reshape(rows.shape[:-1] + (bt.channels, L))
+    return jnp.sum(rows * wgt[..., None, :], axis=-1)
+
+
+def sample_tiny3(tv: TinyVolume3D, q):
+    """Gather-free trilinear fetch from a ≤1-row volume with modular wrap."""
+    d, h, w = tv.dims
+    ix0, fx = _axis_coords(q[..., 0], w)
+    iy0, fy = _axis_coords(q[..., 1], h)
+    iz0, fz = _axis_coords(q[..., 2], d)
+
+    L = d * h * w
+    lanes = np.arange(L)
+    lane_x = jnp.asarray(lanes % w, jnp.int32)
+    lane_y = jnp.asarray((lanes // w) % h, jnp.int32)
+    lane_z = jnp.asarray(lanes // (w * h), jnp.int32)
+
+    def axis_w(lane_idx, i0, f, n):
+        i0e = i0[..., None]
+        fe = f[..., None]
+        return jnp.where(lane_idx == i0e, 1.0 - fe, 0.0) + jnp.where(
+            lane_idx == jnp.remainder(i0e + 1, n), fe, 0.0
+        )
+
+    wgt = (
+        axis_w(lane_x, ix0, fx, w)
+        * axis_w(lane_y, iy0, fy, h)
+        * axis_w(lane_z, iz0, fz, d)
+    )  # [..., L]
+    row = tv.row.reshape(tv.channels, L)
+    return jnp.sum(row * wgt[..., None, :], axis=-1)

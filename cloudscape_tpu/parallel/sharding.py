@@ -1,0 +1,112 @@
+"""Multi-chip rendering: hemisphere tiles sharded over a 1-D device mesh.
+
+The reference is single-GPU; multi-chip scaling is this rebuild's extension
+(SURVEY.md §2 "Multi-chip scaling"). Rays are embarrassingly parallel and
+share only read-only inputs, so the natural decomposition is:
+
+- shard the hemisphere's row axis across the mesh (`P("rays")`),
+- replicate the noise volumes (~35 MB f32 + mips) and LUTs on every chip,
+- no communication inside the march at all — collectives appear only for
+  whole-frame reductions (exposure/luminance statistics) and for assembling a
+  displayed image, and they ride ICI.
+
+`render_hemisphere_sharded` is bitwise-identical to the single-chip render
+(a pure reshard; verified in tests/test_sharding.py), so fidelity testing
+reduces to the single-chip gates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cloudscape_tpu.models import atmosphere
+from cloudscape_tpu.models.density import MarchParams, NoisePack
+from cloudscape_tpu.models.march import march
+from cloudscape_tpu.ops.octmap import texel_directions
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "rays") -> Mesh:
+    """1-D mesh over all (or the given) devices; the single sharding axis is
+    hemisphere rows."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(list(devices), (axis_name,))
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "mesh", "axis_name"))
+def _render_sharded(dirs, params, noise, sky_img, *, steps, light_steps, mesh,
+                    axis_name):
+    shard = jax.shard_map(
+        lambda d, p, n, s: march(d, p, n, s, steps=steps, light_steps=light_steps),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P()),
+        out_specs=P(axis_name),
+    )
+    return shard(dirs, params, noise, sky_img)
+
+
+def render_hemisphere_sharded(mesh: Mesh, texture_size: int,
+                              params: MarchParams, noise: NoisePack, sky_img,
+                              steps: int = 128, light_steps: int = 6,
+                              axis_name: str = "rays"):
+    """Monolithic full-hemisphere render with rows sharded over the mesh.
+
+    texture_size rows must divide the mesh size. Returns [N, N, 4] with the
+    row axis sharded (device_put'ed lazily by XLA; call jax.device_get or
+    np.asarray to assemble on host).
+    """
+    n_dev = mesh.devices.size
+    if texture_size % n_dev != 0:
+        raise ValueError(
+            f"texture_size {texture_size} must divide the mesh size {n_dev}"
+        )
+    dirs = texel_directions(texture_size)
+    dirs = jax.device_put(
+        dirs, jax.sharding.NamedSharding(mesh, P(axis_name, None, None))
+    )
+    return _render_sharded(dirs, params, noise, sky_img, steps=steps,
+                           light_steps=light_steps, mesh=mesh,
+                           axis_name=axis_name)
+
+
+@partial(jax.jit, static_argnames=("texture_size", "steps", "light_steps",
+                                   "mesh", "axis_name"))
+def full_frame_step_sharded(params: MarchParams, noise: NoisePack, tlut,
+                            sun_direction, *, texture_size: int, steps: int,
+                            light_steps: int, mesh: Mesh,
+                            axis_name: str = "rays"):
+    """One complete multi-chip frame step — the renderer's analog of a jitted
+    "training step" over the mesh:
+
+    1. sky-view LUT render, replicated (tiny: 20k rays — cheaper to replicate
+       than to shard + all_gather);
+    2. hemisphere cloud march, rows sharded over ICI;
+    3. a psum'd whole-frame mean-luminance reduction (the only collective a
+       frame needs — rides ICI).
+
+    Returns (hemisphere [N,N,4] row-sharded, sky_lut [100,200,4] replicated,
+    mean_luminance scalar).
+    """
+    sky_img = atmosphere.sky_lut(tlut, sun_direction)
+
+    def shard_fn(dirs, p, n, s):
+        tile = march(dirs, p, n, s, steps=steps, light_steps=light_steps)
+        local_sum = jnp.sum(tile[..., :3])
+        total = jax.lax.psum(local_sum, axis_name)
+        mean_lum = total / (3.0 * texture_size * texture_size)
+        return tile, mean_lum
+
+    dirs = texel_directions(texture_size)
+    out_tile, mean_lum = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P()),
+        out_specs=(P(axis_name), P()),
+    )(dirs, params, noise, sky_img)
+    return out_tile, sky_img, mean_lum

@@ -634,7 +634,7 @@ def sun_with_bloom_np(ray_dir, sun_dir, sun_disk_scale):
 def get_val_from_tlut_np(tlut, pos_mm, sun_dir):
     """`clouds.gdshader:77-85` (megameter units)."""
     height = np.linalg.norm(pos_mm, axis=-1)
-    up = pos_mm / height
+    up = pos_mm / height[..., None]
     sun_cos_zenith = np.sum(up * sun_dir, axis=-1)
     u = TLUT_RES[0] * np.clip(0.5 + 0.5 * sun_cos_zenith, 0.0, 1.0) / TLUT_RES[0]
     v = (

@@ -1,0 +1,92 @@
+"""Composite/display stage vs the f64 oracle (`clouds.gdshader` parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cloudscape_tpu.models import atmosphere
+from cloudscape_tpu.models.compositor import composite, sun_with_bloom
+from cloudscape_tpu.utils.image import psnr
+from oracle import reference as ref
+
+
+@pytest.fixture(scope="module")
+def fixtures(rng=None):
+    rng = np.random.default_rng(99)
+    cloud_from = rng.uniform(0, 1, (64, 64, 4)).astype(np.float32)
+    cloud_to = rng.uniform(0, 1, (64, 64, 4)).astype(np.float32)
+    tlut = np.asarray(atmosphere.transmittance_lut())
+    sun = np.array([0.4, 0.35, -0.85])
+    sun /= np.linalg.norm(sun)
+    sky_from = np.asarray(atmosphere.sky_lut(jnp.asarray(tlut), jnp.asarray(sun, jnp.float32)))
+    sun2 = np.array([0.42, 0.3, -0.86])
+    sun2 /= np.linalg.norm(sun2)
+    sky_to = np.asarray(atmosphere.sky_lut(jnp.asarray(tlut), jnp.asarray(sun2, jnp.float32)))
+    return cloud_from, cloud_to, sky_from, sky_to, tlut, sun
+
+
+def _viewdirs(n=2000, seed=5):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return d
+
+
+def test_composite_matches_oracle(fixtures):
+    cloud_from, cloud_to, sky_from, sky_to, tlut, sun = fixtures
+    dirs = _viewdirs()
+    for blend in (0.0, 0.5, 0.90625):
+        got = np.asarray(
+            composite(
+                jnp.asarray(dirs, jnp.float32),
+                jnp.asarray(cloud_from), jnp.asarray(cloud_to),
+                jnp.asarray(sky_from), jnp.asarray(sky_to),
+                jnp.asarray(tlut),
+                jnp.float32(blend),
+                jnp.asarray(sun, jnp.float32),
+                jnp.float32(2.0),
+            )
+        )
+        want = ref.composite_ref(
+            dirs, cloud_from.astype(np.float64), cloud_to.astype(np.float64),
+            sky_from.astype(np.float64), sky_to.astype(np.float64),
+            tlut.astype(np.float64), blend, 2.0, sun,
+        )
+        # The sun-disk boundary and bloom are steep; compare in PSNR terms.
+        p = psnr(got, want)
+        assert p > 45.0, f"blend={blend}: PSNR {p:.1f}"
+        assert np.isfinite(got).all()
+
+
+def test_sun_disk_geometry(fixtures):
+    *_, sun = fixtures
+    # Dead-center on the sun → exactly 1.0 before the smoothstep.
+    v = np.asarray(sun_with_bloom(jnp.asarray(sun[None], jnp.float32),
+                                  jnp.asarray(sun, jnp.float32), 2.0))
+    np.testing.assert_allclose(v, 1.0)
+    # 90° away → tiny bloom only.
+    perp = np.array([sun[1], -sun[0], 0.0])
+    perp /= np.linalg.norm(perp)
+    v2 = np.asarray(sun_with_bloom(jnp.asarray(perp[None], jnp.float32),
+                                   jnp.asarray(sun, jnp.float32), 2.0))
+    assert v2.max() < 0.01
+
+
+def test_horizon_fade_full_below(fixtures):
+    cloud_from, cloud_to, sky_from, sky_to, tlut, sun = fixtures
+    # y <= 0 → output equals clamp(background): independent of cloud textures.
+    dirs = np.array([[0.6, -0.2, 0.78], [0.0, -1.0, 0.0]])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    a = np.asarray(composite(
+        jnp.asarray(dirs, jnp.float32),
+        jnp.asarray(cloud_from), jnp.asarray(cloud_to),
+        jnp.asarray(sky_from), jnp.asarray(sky_to),
+        jnp.asarray(tlut), jnp.float32(0.3),
+        jnp.asarray(sun, jnp.float32), jnp.float32(1.0)))
+    b = np.asarray(composite(
+        jnp.asarray(dirs, jnp.float32),
+        jnp.asarray(cloud_from * 0 + 9.0), jnp.asarray(cloud_to * 0 + 9.0),
+        jnp.asarray(sky_from), jnp.asarray(sky_to),
+        jnp.asarray(tlut), jnp.float32(0.3),
+        jnp.asarray(sun, jnp.float32), jnp.float32(1.0)))
+    np.testing.assert_allclose(a, b, atol=1e-6)

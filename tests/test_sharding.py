@@ -1,0 +1,76 @@
+"""Multi-chip tile sharding on the virtual 8-device CPU mesh (SURVEY.md §4:
+sharded rendering must be bitwise-identical to single-chip — a pure reshard).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cloudscape_tpu.models import atmosphere
+from cloudscape_tpu.models.density import MarchParams
+from cloudscape_tpu.models.march import march
+from cloudscape_tpu.models.packs import make_noise_pack
+from cloudscape_tpu.ops.octmap import texel_directions
+from cloudscape_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from cloudscape_tpu.ops.noise import generate_base_noise, generate_detail_noise
+    from cloudscape_tpu.utils.assets import load_bmp
+
+    noise = make_noise_pack(
+        generate_base_noise(16, seed=1),
+        generate_detail_noise(16, seed=2),
+        load_bmp("/root/reference/cloud_sky/weather.bmp"),
+    )
+    tlut = atmosphere.transmittance_lut()
+    sun = np.array([0.3, 0.5, -0.8])
+    sun /= np.linalg.norm(sun)
+    slut = atmosphere.sky_lut(tlut, jnp.asarray(sun, jnp.float32))
+    params = MarchParams.create(cloud_coverage=0.6, light_direction=sun)
+    return noise, tlut, slut, params, sun
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_bitwise_equals_single(setup):
+    noise, _, slut, params, _ = setup
+    mesh = sharding.make_mesh()
+    n = 64
+    sharded = np.asarray(
+        sharding.render_hemisphere_sharded(mesh, n, params, noise, slut,
+                                           steps=8, light_steps=2)
+    )
+    single = np.asarray(
+        march(texel_directions(n), params, noise, slut, steps=8, light_steps=2)
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_indivisible_rows_raise(setup):
+    noise, _, slut, params, _ = setup
+    mesh = sharding.make_mesh()
+    with pytest.raises(ValueError):
+        sharding.render_hemisphere_sharded(mesh, 60, params, noise, slut)
+
+
+def test_full_frame_step_sharded(setup):
+    noise, tlut, _, params, sun = setup
+    mesh = sharding.make_mesh()
+    n = 32
+    tile, sky_img, mean_lum = sharding.full_frame_step_sharded(
+        params, noise, tlut, jnp.asarray(sun, jnp.float32),
+        texture_size=n, steps=8, light_steps=2, mesh=mesh,
+    )
+    tile = np.asarray(tile)
+    assert tile.shape == (n, n, 4)
+    assert np.asarray(sky_img).shape == (100, 200, 4)
+    # The psum'd luminance must equal the host-side reduction exactly.
+    np.testing.assert_allclose(
+        float(mean_lum), tile[..., :3].mean(), rtol=1e-6
+    )
+    assert np.isfinite(tile).all()
