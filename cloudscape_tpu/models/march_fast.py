@@ -142,10 +142,9 @@ def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
     return jnp.power(jnp.clip(base_cloud, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5), hf
 
 
-def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
-                 steps: int, light_steps: int):
-    """Phase A+B for one chunk of rays. dirs: [n, 3] → [n, 4]."""
-    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+def _ray_setup(dirs, params: MarchParams, steps: int):
+    """Per-ray geometry shared by all phases: (above, ndir, ss, p0, phase,
+    ldir)."""
     above = dirs[..., 1] > 0.0
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     ndir = jnp.where(above[..., None], dirs, up)
@@ -157,9 +156,7 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     ss = jnp.linalg.norm(end - start, axis=-1) / steps
     p0 = start + ndir * (m.hash_iq(start * 10.0) * ss)[..., None]
 
-    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
     ldir = params.light_direction / jnp.linalg.norm(params.light_direction)
-
     costheta = jnp.sum(ldir * ndir, axis=-1)
     phase = jnp.maximum(
         jnp.maximum(
@@ -168,13 +165,45 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
         ),
         m.henyey_greenstein(costheta, -0.2),
     )
+    return above, ndir, ss, p0, phase, ldir
 
-    light_offsets = jnp.cumsum(
+
+def _light_offsets(ldir, light_steps: int):
+    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
+    offsets = jnp.cumsum(
         (ldir[None, :] + RANDOM_VECTORS[:light_steps]
          * jnp.arange(light_steps, dtype=jnp.float32)[:, None]) * lss,
         axis=0,
     )
-    distant_offset = ldir * (18.0 * lss)
+    return offsets, ldir * (18.0 * lss), lss
+
+
+def _cone_density(p, params: MarchParams, bp: BrickPack, light_offsets,
+                  distant_offset, light_steps: int):
+    """Secondary (sun) march density sum `cd` for sample positions p
+    (`clouds.glsl:184-199`). p: [..., 3] → [...]."""
+    xz = jnp.array([0, 2])
+    cd = jnp.zeros(p.shape[:-1], jnp.float32)
+    for j in range(light_steps):
+        lp = p + light_offsets[j]
+        lweather = _weather_rb(bp, lp[..., xz], params.weather_pos)
+        lt, _ = _density_bricks(lp, lweather, float(j), params, bp)
+        cd = cd + lt
+
+    lp = p + distant_offset
+    lhf = m.height_fraction(jnp.linalg.norm(lp, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+    # Quirk preserved: no + weather_pos on the distant sample (`clouds.glsl:197`).
+    lweather = sample_brick2(bp.weather, lp[..., xz] * 0.00006 + 0.5)
+    ldens, _ = _density_bricks(lp, lweather, 5.0, params, bp)
+    return cd + jnp.power(ldens, (1.0 - lhf) * 0.8 + 0.5)
+
+
+def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
+                 steps: int, light_steps: int):
+    """Dense Phase A+B for one chunk of rays. dirs: [n, 3] → [n, 4]."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    above, ndir, ss, p0, phase, ldir = _ray_setup(dirs, params, steps)
+    light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
 
     # Phase A — all samples in parallel: p[n, steps, 3].
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
@@ -187,19 +216,7 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     t, _ = _density_bricks(p, weather, 0.0, params, bp)
     dt = jnp.exp(-params.density * t * ss[:, None])
 
-    cd = jnp.zeros_like(t)
-    for j in range(light_steps):
-        lp = p + light_offsets[j]
-        lweather = _weather_rb(bp, lp[..., xz], params.weather_pos)
-        lt, _ = _density_bricks(lp, lweather, float(j), params, bp)
-        cd = cd + lt
-
-    lp = p + distant_offset
-    lhf = m.height_fraction(jnp.linalg.norm(lp, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
-    # Quirk preserved: no + weather_pos on the distant sample (`clouds.glsl:197`).
-    lweather = sample_brick2(bp.weather, lp[..., xz] * 0.00006 + 0.5)
-    ldens, _ = _density_bricks(lp, lweather, 5.0, params, bp)
-    cd = cd + jnp.power(ldens, (1.0 - lhf) * 0.8 + 0.5)
+    cd = _cone_density(p, params, bp, light_offsets, distant_offset, light_steps)
 
     beers = jnp.exp(-params.density * cd * lss * 3.0)
     powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
@@ -223,14 +240,116 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     return jnp.where(above[..., None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk"))
+def _pad_blocks(flat, chunk, fill):
+    """Pad leading dim to a chunk multiple and reshape to [k, chunk, ...]."""
+    n = flat.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad:
+        pad = jnp.broadcast_to(fill, (n_pad,) + flat.shape[1:])
+        flat = jnp.concatenate([flat, pad], axis=0)
+    return flat.reshape((-1, chunk) + flat.shape[1:])
+
+
+def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
+                   steps: int, light_steps: int, chunk: int,
+                   capacity_frac: float, t_cutoff: float):
+    """Occupancy-compacted march over all rays at once.
+
+    The secondary light march (`clouds.glsl:184-199`) only contributes where
+    the primary density t > 0 — the reference's own `if (t > 0)` guard — and
+    where the accumulated transmittance hasn't saturated (contributions are
+    multiplied by the prefix product, so T_prefix ≤ t_cutoff ≈ invisible).
+    Phase 1 computes primary density densely; phase 2 gathers the active
+    samples into a compact list (static capacity = capacity_frac · n · steps,
+    overflow drops the *sun* term of excess samples only) and runs the
+    expensive cone sampling on ~10-20% of the work; phase 3 scatters back and
+    runs the prefix-product accumulation.
+    """
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    n = flat.shape[0]
+    above, ndir, ss, p0, phase, ldir = _ray_setup(flat, params, steps)
+    light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    xz = jnp.array([0, 2])
+
+    # ---- Phase 1 (dense, chunked): primary density + height fraction.
+    def dense_chunk(args):
+        p0c, ndirc, ssc = args
+        p = p0c[:, None, :] + ndirc[:, None, :] * (ssc[:, None] * i_step[None, :])[..., None]
+        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
+        hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+        t, _ = _density_bricks(p, weather, 0.0, params, bp)
+        return t, hf
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+    )
+    t, hf = jax.lax.map(dense_chunk, blocks)
+    t = t.reshape(-1, steps)[:n]
+    hf = hf.reshape(-1, steps)[:n]
+
+    dt = jnp.exp(-params.density * t * ss[:, None])
+    t_prefix = jnp.concatenate(
+        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
+    )
+
+    # ---- Phase 2 (compacted): cone density where it can matter.
+    active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
+    total = n * steps
+    capacity = max(int(total * capacity_frac), chunk)
+    capacity += (-capacity) % chunk
+    idx = jnp.nonzero(active.reshape(-1), size=capacity, fill_value=total)[0]
+
+    ray = jnp.minimum(idx // steps, n - 1)
+    stp = (idx % steps).astype(jnp.float32) + 1.0
+    p_active = p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+
+    def light_chunk(p_blk):
+        return _cone_density(p_blk, params, bp, light_offsets, distant_offset,
+                             light_steps)
+
+    cd_active = jax.lax.map(
+        light_chunk, p_active.reshape(-1, chunk, 3)
+    ).reshape(-1)
+
+    cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
+        cd_active, mode="drop"
+    )[:total].reshape(n, steps)
+
+    # ---- Phase 3 (dense elementwise): radiance + prefix-product combine.
+    beers = jnp.exp(-params.density * cd * lss * 3.0)
+    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
+    beers_total = jnp.where(active, 2.0 * beers * powder, 0.0)
+
+    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
+        m.smoothstep(0.0, 1.0, hf)[..., None]
+    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
+        * t[..., None]
+    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
+        jnp.maximum(1e-7, t)[..., None]
+    L = jnp.sum(contrib, axis=1)
+    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+
+    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
+    return jnp.where(above[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk", "compact",
+                                   "capacity_frac", "t_cutoff"))
 def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
-                 steps: int = 128, light_steps: int = 6, chunk: int = 16384):
+                 steps: int = 128, light_steps: int = 6, chunk: int = 16384,
+                 compact: bool = True, capacity_frac: float = 0.25,
+                 t_cutoff: float = 1e-4):
     """Fast march over world directions. dirs: [..., 3] → [..., 4].
 
-    chunk bounds peak HBM for the gather rows (chunk·steps·512 B per live
-    gather buffer); the chunk loop runs inside this jit via `lax.map` so the
-    whole call is one dispatch.
+    compact=True routes through the occupancy-compacted pipeline (see
+    `_march_compact`); compact=False is the simple dense Phase A+B. chunk
+    bounds peak HBM for the gather rows (chunk·steps·512 B per live gather
+    buffer); all chunk loops run inside this jit via `lax.map` so the whole
+    call is one dispatch.
     """
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = dirs.shape[:-1]
@@ -239,16 +358,17 @@ def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
 
     atmos = ambient_colors(params, sky_lut_img)
 
+    if compact:
+        out = _march_compact(flat, params, bp, atmos, steps, light_steps,
+                             min(chunk, max(n, 1)), capacity_frac, t_cutoff)
+        return out.reshape(shape + (4,))
+
     if n <= chunk:
         out = _march_chunk(flat, params, bp, atmos, steps, light_steps)
         return out.reshape(shape + (4,))
 
-    n_pad = (-n) % chunk
-    flat = jnp.concatenate(
-        [flat, jnp.broadcast_to(up_pad := jnp.array([0.0, 1.0, 0.0], jnp.float32),
-                                (n_pad, 3))], axis=0
-    ) if n_pad else flat
-    blocks = flat.reshape(-1, chunk, 3)
+    down = jnp.array([0.0, -1.0, 0.0], jnp.float32)
+    blocks = _pad_blocks(flat, chunk, down)
     out = jax.lax.map(
         lambda d: _march_chunk(d, params, bp, atmos, steps, light_steps), blocks
     )

@@ -26,12 +26,19 @@ def _pyramid3d_np(tex: np.ndarray):
     cascade of tiny per-level TPU compiles (~30 s each through the compile
     tunnel) for what is a one-time <100 ms numpy reduction."""
     tex = np.asarray(tex, np.float32)
+    try:
+        from cloudscape_tpu.utils import _native
+    except Exception:
+        _native = None
     levels = [tex]
     while min(tex.shape[:3]) > 1:
-        d, h, w, c = tex.shape
-        tex = tex.reshape(d // 2, 2, h // 2, 2, w // 2, 2, c).mean(
-            axis=(1, 3, 5), dtype=np.float32
-        )
+        nxt = _native.mip3d(tex) if _native is not None else None
+        if nxt is None:
+            d, h, w, c = tex.shape
+            nxt = tex.reshape(d // 2, 2, h // 2, 2, w // 2, 2, c).mean(
+                axis=(1, 3, 5), dtype=np.float32
+            )
+        tex = nxt
         levels.append(tex)
     return levels
 

@@ -78,13 +78,26 @@ def _cdiv(a, b):
 
 def build_brick3(volume: np.ndarray, brick=(4, 4, 4), stride=(3, 3, 3)
                  ) -> BrickTable3D:
-    """volume: [D, H, W, C] float; returns the brick table (host-built)."""
+    """volume: [D, H, W, C] float; returns the brick table (host-built;
+    native/assetio.cpp fast path when built)."""
     volume = np.asarray(volume, np.float32)
     d, h, w, c = volume.shape
     bz, by, bx = brick
     sz, sy, sx = stride
     assert sz <= bz - 1 and sy <= by - 1 and sx <= bx - 1
     nz, ny, nx = _cdiv(d, sz), _cdiv(h, sy), _cdiv(w, sx)
+
+    try:
+        from cloudscape_tpu.utils import _native
+
+        lanes = _native.pack_bricks3d(volume, brick, stride)
+        if lanes is not None:
+            return BrickTable3D(
+                table=jnp.asarray(lanes), dims=(d, h, w), brick=brick,
+                stride=stride, grid=(nz, ny, nx), channels=c,
+            )
+    except Exception:
+        pass
 
     zz = (np.arange(nz)[:, None] * sz + np.arange(bz)[None, :]) % d  # [nz, bz]
     yy = (np.arange(ny)[:, None] * sy + np.arange(by)[None, :]) % h

@@ -114,6 +114,14 @@ def load_tga(path: str) -> np.ndarray:
 def slice_horizontal_3d(img: np.ndarray, slices: int) -> np.ndarray:
     """Godot 3D-texture import: a [H, slices*S, C] strip of horizontal slices
     → [D=slices, H, S, C] volume (`worlnoise.bmp.import:28-29`)."""
+    try:
+        from cloudscape_tpu.utils import _native
+
+        out = _native.slice3d(np.asarray(img, np.float32), slices)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     h, w, c = img.shape
     s = w // slices
     return np.ascontiguousarray(

@@ -115,7 +115,8 @@ def test_march_bricks_matches_march(march_setup):
 
 
 def test_march_bricks_chunking_invariance(march_setup):
-    """Chunked (lax.map) and unchunked paths must agree exactly."""
+    """Chunked (lax.map) and unchunked paths must agree to fp-reassociation
+    precision (different chunk shapes fuse differently → 1-ULP deltas)."""
     from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
     from cloudscape_tpu.ops.octmap import texel_directions
 
@@ -124,4 +125,29 @@ def test_march_bricks_chunking_invariance(march_setup):
     dirs = texel_directions(16)  # 256 rays
     a = np.asarray(march_bricks(dirs, params, bp, slut, steps=8, chunk=1 << 20))
     b = np.asarray(march_bricks(dirs, params, bp, slut, steps=8, chunk=64))
-    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_march_bricks_compact_matches_dense(march_setup):
+    """The occupancy-compacted pipeline must reproduce the dense Phase A+B
+    (with cutoff 0 it is the same math modulo scatter order)."""
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+    from cloudscape_tpu.ops.octmap import texel_directions
+
+    noise, slut, params = march_setup
+    bp = BrickPack.from_noise(noise)
+    dirs = texel_directions(32)
+    dense = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, compact=False)
+    )
+    comp = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, compact=True,
+                     capacity_frac=0.5, t_cutoff=0.0)
+    )
+    np.testing.assert_allclose(comp, dense, atol=1e-6)
+    # And the default cutoff must stay visually identical (>60 dB).
+    comp2 = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, compact=True,
+                     capacity_frac=0.5, t_cutoff=1e-4)
+    )
+    assert psnr(comp2, dense) > 60.0
