@@ -42,21 +42,34 @@ from cloudscape_tpu.temporal import FrameData, RingState
 
 @partial(
     jax.jit,
-    static_argnames=("texture_size", "region", "steps", "light_steps"),
+    static_argnames=("texture_size", "region", "steps", "light_steps", "kernel"),
     donate_argnums=(0,),
 )
-def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise: NoisePack,
-                 sky_img, *, texture_size: int, region: int, steps: int,
-                 light_steps: int):
+def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
+                 *, texture_size: int, region: int, steps: int,
+                 light_steps: int, kernel: str = "reference"):
     """Render one region² tile into ring[tex_idx] at (x0, y0) — the analog of
     the reference's per-frame compute dispatch (`cloud_sky.gd:234-248`).
 
     The ring buffer is donated: XLA updates it in place, exactly like
     rendering into a bound storage image. tex_idx/x0/y0 are traced so a single
-    executable serves every tile of every cycle.
+    executable serves every tile of every cycle. kernel selects the
+    scan-based reference march ("reference", takes a NoisePack) or the
+    brick-table fast march ("fast", takes a BrickPack).
     """
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region, height=region)
-    tile = march(dirs, params, noise, sky_img, steps=steps, light_steps=light_steps)
+    if kernel == "fast":
+        from cloudscape_tpu.models.march_fast import march_bricks
+
+        # Generous compaction capacity: engine tiles are small, so headroom
+        # costs little and guarantees no overflow (exactness) at any coverage.
+        tile = march_bricks(dirs, params, noise, sky_img, steps=steps,
+                            light_steps=light_steps,
+                            chunk=min(region * region, 16384),
+                            capacity_frac=0.5)
+    else:
+        tile = march(dirs, params, noise, sky_img, steps=steps,
+                     light_steps=light_steps)
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
 
 
@@ -83,11 +96,24 @@ class CloudSkyEngine:
         sun: SunState = SunState(direction=(0.0, 0.5, -1.0)),
         noise: Optional[NoisePack] = None,
         now: float = 0.0,
+        kernel: str = "fast",
     ):
+        """kernel: "fast" (brick-table, occupancy-compacted march — the
+        production path) or "reference" (scan-based march, the numerics
+        anchor; both gated against the f64 oracle)."""
+        if kernel not in ("fast", "reference"):
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = kernel
         self.perf = perf.validate()
         self.config = config
         self.sun = sun
         self.noise = noise if noise is not None else reference_noise_pack()
+        if kernel == "fast":
+            from cloudscape_tpu.models.march_fast import BrickPack
+
+            self._bricks = BrickPack.from_noise(self.noise)
+        else:
+            self._bricks = None
 
         # Baked once at load, like `transmittance_lut.gd:51-78`.
         self.transmittance = atmosphere.transmittance_lut()
@@ -183,12 +209,13 @@ class CloudSkyEngine:
             jnp.int32(self.ring.update_position[0]),
             jnp.int32(self.ring.update_position[1]),
             self._march_params,
-            self.noise,
+            self._bricks if self.kernel == "fast" else self.noise,
             self.sky_ring[self.ring.cloud_kernel_sky_slot],
             texture_size=self.perf.texture_size,
             region=self.perf.update_region_size,
             steps=self.perf.march_steps,
             light_steps=self.perf.light_steps,
+            kernel=self.kernel,
         )
         self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
 
@@ -225,6 +252,16 @@ class CloudSkyEngine:
         if sky_img is None:
             sky_img = self.sky_ring[self.ring.cloud_kernel_sky_slot]
         dirs = texel_directions(self.perf.texture_size)
+        if self.kernel == "fast":
+            from cloudscape_tpu.models.march_fast import march_bricks
+
+            return march_bricks(
+                dirs, params, self._bricks, sky_img,
+                steps=self.perf.march_steps,
+                light_steps=self.perf.light_steps,
+                chunk=min(self.perf.update_region_size ** 2, 16384),
+                capacity_frac=0.5,
+            )
         return march(dirs, params, self.noise, sky_img,
                      steps=self.perf.march_steps,
                      light_steps=self.perf.light_steps)
