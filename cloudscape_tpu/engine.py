@@ -283,6 +283,35 @@ class CloudSkyEngine:
             "blend_amount": self.blend_amount,
         }
 
+    def save_file(self, path: str) -> None:
+        """Persist the checkpoint to one .npz (arrays + JSON header)."""
+        import json
+
+        state = self.save()
+        header = {
+            k: v for k, v in state.items() if k not in ("cloud_ring", "sky_ring")
+        }
+        for section in ("frame_data",):
+            header[section] = {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in header[section].items()
+            }
+        np.savez_compressed(
+            path,
+            cloud_ring=state["cloud_ring"],
+            sky_ring=state["sky_ring"],
+            header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        )
+
+    def load_file(self, path: str) -> None:
+        import json
+
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+            header["cloud_ring"] = z["cloud_ring"]
+            header["sky_ring"] = z["sky_ring"]
+        self.restore(header)
+
     def restore(self, state: Dict[str, Any]) -> None:
         self.perf = PerfConfig(**state["perf"]).validate()
         self.config = CloudConfig(**{
