@@ -67,11 +67,11 @@ def main() -> None:
     )
     dirs = jnp.asarray(hemisphere_dirs(WIDTH, HEIGHT))
 
-    # capacity_frac 0.12 ≈ 2× the measured active-sample fraction of this
+    # capacity_frac 0.08 ≈ 1.4× the measured active-sample fraction of this
     # scene (5.6%, docs/PERF_NOTES.md); overflow degrades only the sun term.
     fn = jax.jit(
         lambda d, p: march_bricks(d, p, bricks, sky, steps=STEPS, chunk=32768,
-                                  capacity_frac=0.12)
+                                  capacity_frac=0.08)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params)))  # compile + warm
     assert np.isfinite(out).all(), "benchmark render produced non-finite values"

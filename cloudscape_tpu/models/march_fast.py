@@ -103,12 +103,16 @@ def _weather_rb(bp: BrickPack, pxz, weather_pos):
     return sample_brick2(bp.weather, pxz * 0.00006 + 0.5 + weather_pos)
 
 
-def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
-                    bp: BrickPack):
-    """Schneider density (`clouds.glsl:109-137`) on brick tables.
+def _density_pre(p, weather_rb, mip: float, params: MarchParams,
+                 bp: BrickPack):
+    """First half of the Schneider density (`clouds.glsl:109-125`): base
+    shape + coverage remap, *before* detail erosion. Needs only the weather
+    and large-noise fetches.
 
-    weather_rb: [..., 2] = (cloud_type, coverage·weather) pre-fetched.
-    Returns (density, height_fraction)."""
+    Returns (pre, hf): erosion can only reduce density, and the erosion remap
+    maps pre ≤ 0 to exactly 0 — so `pre > 0` is an exact occupancy predicate
+    for staging the small-noise fetch.
+    """
     hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
 
     offset = 20.0 * params.cloud_pos * 0.6
@@ -125,21 +129,34 @@ def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
     base_cloud = (base_cloud * g - (1.0 - weather_coverage)) / jnp.maximum(
         weather_coverage, 1e-6
     )
-    base_cloud = base_cloud * weather_coverage
+    return base_cloud * weather_coverage, hf
 
+
+def _density_finish(pre, hf, p, mip: float, params: MarchParams,
+                    bp: BrickPack):
+    """Second half (`clouds.glsl:127-136`): detail erosion + final shaping."""
+    offset = 20.0 * params.cloud_pos * 0.6
     p_det = jnp.stack(
         [
-            p_base[..., 0] - params.detailed_pos[0] * 40.0,
-            p_base[..., 1] - params.time * 40.0,
-            p_base[..., 2] - params.detailed_pos[1] * 40.0,
+            p[..., 0] + offset[0] - params.detailed_pos[0] * 40.0,
+            p[..., 1] - params.time * 40.0,
+            p[..., 2] + offset[1] - params.detailed_pos[1] * 40.0,
         ],
         axis=-1,
     )
     lod_s = int(min(max(mip, 0.0), len(bp.small) - 1))
     hfbm = _sample_volume(bp.small[lod_s], p_det * 0.001)[..., 0]
     hfbm = hfbm + (1.0 - 2.0 * hfbm) * jnp.clip(hf * 4.0, 0.0, 1.0)
-    base_cloud = m.remap(base_cloud, hfbm * 0.4 * hf, 1.0, 0.0, 1.0)
-    return jnp.power(jnp.clip(base_cloud, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5), hf
+    base_cloud = m.remap(pre, hfbm * 0.4 * hf, 1.0, 0.0, 1.0)
+    return jnp.power(jnp.clip(base_cloud, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5)
+
+
+def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
+                    bp: BrickPack):
+    """Full Schneider density (`clouds.glsl:109-137`) on brick tables.
+    Returns (density, height_fraction)."""
+    pre, hf = _density_pre(p, weather_rb, mip, params, bp)
+    return _density_finish(pre, hf, p, mip, params, bp), hf
 
 
 def _ray_setup(dirs, params: MarchParams, steps: int):
@@ -272,14 +289,26 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
     xz = jnp.array([0, 2])
 
+    total = n * steps
+
+    def positions_for(idx):
+        """Recompute sample positions from flat (ray·step) indices — cheaper
+        than gathering stored [.., 3] vectors (narrow rows pad 42×)."""
+        ray = jnp.minimum(idx // steps, n - 1)
+        stp = (idx % steps).astype(jnp.float32) + 1.0
+        return p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+
     # ---- Phase 1 (dense, chunked): primary density + height fraction.
+    # (A staged variant that compacted the erosion fetch behind a `pre > 0`
+    # test measured *slower* on chip — the per-compacted-sample overhead of
+    # narrow position gathers exceeds the saved dense rows; see
+    # docs/PERF_NOTES.md.)
     def dense_chunk(args):
         p0c, ndirc, ssc = args
         p = p0c[:, None, :] + ndirc[:, None, :] * (ssc[:, None] * i_step[None, :])[..., None]
         weather = _weather_rb(bp, p[..., xz], params.weather_pos)
-        hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
-        t, _ = _density_bricks(p, weather, 0.0, params, bp)
-        return t, hf
+        t_blk, hf_blk = _density_bricks(p, weather, 0.0, params, bp)
+        return t_blk, hf_blk
 
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     blocks = (
@@ -298,14 +327,10 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
 
     # ---- Phase 2 (compacted): cone density where it can matter.
     active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
-    total = n * steps
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
     idx = jnp.nonzero(active.reshape(-1), size=capacity, fill_value=total)[0]
-
-    ray = jnp.minimum(idx // steps, n - 1)
-    stp = (idx % steps).astype(jnp.float32) + 1.0
-    p_active = p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+    p_active = positions_for(idx)
 
     def light_chunk(p_blk):
         return _cone_density(p_blk, params, bp, light_offsets, distant_offset,
