@@ -1,0 +1,145 @@
+"""Benchmark sweep over the five BASELINE.json configs.
+
+Prints one JSON line per config (bench.py remains the single-headline
+driver entry point). Run on the real TPU:
+
+    python bench/sweep.py            # all configs
+    python bench/sweep.py 1 4 5      # subset
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def _timed(fn, *args, reps: int = 3):
+    import jax
+
+    np.asarray(jax.block_until_ready(fn(*args)))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = np.asarray(jax.block_until_ready(fn(*args)))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(ts), out
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import hemisphere_dirs
+
+    from cloudscape_tpu.models import atmosphere
+    from cloudscape_tpu.models.density import MarchParams
+    from cloudscape_tpu.models.march_fast import (
+        BrickPack, march_bricks, march_hierarchical,
+    )
+    from cloudscape_tpu.models.packs import procedural_noise_pack, reference_noise_pack
+
+    which = {int(a) for a in sys.argv[1:]} or {1, 2, 3, 4, 5}
+    dev = str(jax.devices()[0])
+
+    noise = reference_noise_pack()
+    bricks = BrickPack.from_noise(noise)
+    tlut = atmosphere.transmittance_lut()
+
+    def scene(sun, coverage=0.35):
+        sun = np.asarray(sun, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        sky = atmosphere.sky_lut(tlut, jnp.asarray(sun, jnp.float32))
+        p = MarchParams.create(
+            cloud_pos=np.array([1.5, -0.3]), detailed_pos=np.array([0.4, 0.2]),
+            weather_pos=np.array([0.01, 0.02]), time=12.5,
+            cloud_coverage=coverage, light_direction=sun,
+            ground_color=np.array([0.27, 0.19, 0.027]),
+        )
+        return sky, p
+
+    def emit(config, name, ms, w, h, extra=None):
+        rec = {
+            "config": config,
+            "metric": name,
+            "value": round(ms, 2),
+            "unit": "ms",
+            "mrays_per_sec_per_chip": round(w * h / ms / 1e3, 2),
+            "device": dev,
+        }
+        rec.update(extra or {})
+        print(json.dumps(rec), flush=True)
+
+    if 1 in which:
+        # Config 1: static noon sun, 256×128, 32 steps, baked inputs.
+        sky, p = scene([0.05, 0.99, 0.05])
+        dirs = jnp.asarray(hemisphere_dirs(256, 128))
+        f = jax.jit(lambda d, q: march_bricks(d, q, bricks, sky, steps=32,
+                                              chunk=32768, capacity_frac=0.2))
+        ms, out = _timed(f, dirs, p)
+        emit(1, "static_noon_256x128x32", ms, 256, 128,
+             {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
+
+    if 2 in which:
+        # Config 2: animated wind + amortized update, 512×256-equivalent at
+        # 64 steps — timed as the per-tile amortized dispatch (the actual
+        # per-frame cost) plus the full-map equivalent.
+        sky, p = scene([0.3, 0.4, -0.85])
+        dirs = jnp.asarray(hemisphere_dirs(512, 256))
+        f = jax.jit(lambda d, q: march_bricks(d, q, bricks, sky, steps=64,
+                                              chunk=32768, capacity_frac=0.12))
+        ms, _ = _timed(f, dirs, p)
+        emit(2, "wind_amortized_512x256x64_fullmap", ms, 512, 256,
+             {"per_tile_ms_at_64frames": round(ms / 64.0, 2)})
+
+    if 3 in which:
+        # Config 3: full atmosphere + sun sweep, 1024×512 (the headline).
+        sky, p = scene([0.6, 0.25, -0.75])
+        dirs = jnp.asarray(hemisphere_dirs(1024, 512))
+        f = jax.jit(lambda d, q: march_bricks(d, q, bricks, sky, steps=128,
+                                              chunk=32768, capacity_frac=0.08))
+        ms, _ = _timed(f, dirs, p)
+        # Sky LUT re-render (per cycle when the sun moves).
+        lut_ms, _ = _timed(
+            jax.jit(lambda s: atmosphere.sky_lut(tlut, s)),
+            jnp.asarray([0.3, 0.5, -0.8], jnp.float32),
+        )
+        emit(3, "atmosphere_sweep_1024x512x128", ms, 1024, 512,
+             {"sky_lut_ms": round(lut_ms, 2)})
+
+    if 4 in which:
+        # Config 4: fully procedural noise (Pallas generators), no assets.
+        from cloudscape_tpu.ops import noise_pallas
+
+        t0 = time.perf_counter()
+        base = np.asarray(jax.block_until_ready(
+            noise_pallas.generate_base_noise_pallas(128, 0)))
+        gen_ms = (time.perf_counter() - t0) * 1e3
+        pack = procedural_noise_pack(seed=0)
+        pb = BrickPack.from_noise(pack)
+        sky, p = scene([0.3, 0.4, -0.85])
+        dirs = jnp.asarray(hemisphere_dirs(512, 256))
+        f = jax.jit(lambda d, q: march_bricks(d, q, pb, sky, steps=64,
+                                              chunk=32768, capacity_frac=0.15))
+        ms, out = _timed(f, dirs, p)
+        emit(4, "procedural_pallas_512x256x64", ms, 512, 256,
+             {"pallas_base_gen_ms": round(gen_ms, 1),
+              "clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
+
+    if 5 in which:
+        # Config 5: hierarchical march, 2048×1024, 128 adaptive steps.
+        sky, p = scene([0.3, 0.4, -0.85])
+        dirs = jnp.asarray(hemisphere_dirs(2048, 1024))
+        f = jax.jit(lambda d, q: march_hierarchical(
+            d, q, bricks, sky, steps=128, chunk=32768, capacity_frac=0.08))
+        ms, out = _timed(f, dirs, p)
+        emit(5, "hierarchical_2048x1024x128", ms, 2048, 1024,
+             {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
+
+
+if __name__ == "__main__":
+    main()

@@ -362,6 +362,178 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
     return jnp.where(above[..., None], out, 0.0)
 
 
+def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
+                bp: BrickPack, atmos, steps: int, light_steps: int,
+                chunk: int, capacity_frac: float, t_cutoff: float):
+    """Compacted march over prepared rays (arbitrary per-ray start/step).
+
+    The body of `_march_compact`, factored so the hierarchical path can feed
+    it window-adjusted ray geometry. Returns [n, 4]."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    n = ndir.shape[0]
+    light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    xz = jnp.array([0, 2])
+    total = n * steps
+
+    def positions_for(idx):
+        ray = jnp.minimum(idx // steps, n - 1)
+        stp = (idx % steps).astype(jnp.float32) + 1.0
+        return p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+
+    def dense_chunk(args):
+        p0c, ndirc, ssc = args
+        p = p0c[:, None, :] + ndirc[:, None, :] * (ssc[:, None] * i_step[None, :])[..., None]
+        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
+        return _density_bricks(p, weather, 0.0, params, bp)
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+    )
+    t, hf = jax.lax.map(dense_chunk, blocks)
+    t = t.reshape(-1, steps)[:n]
+    hf = hf.reshape(-1, steps)[:n]
+
+    dt = jnp.exp(-params.density * t * ss[:, None])
+    t_prefix = jnp.concatenate(
+        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
+    )
+
+    active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
+    capacity = max(int(total * capacity_frac), chunk)
+    capacity += (-capacity) % chunk
+    idx = jnp.nonzero(active.reshape(-1), size=capacity, fill_value=total)[0]
+    p_active = positions_for(idx)
+
+    cd_active = jax.lax.map(
+        lambda pb: _cone_density(pb, params, bp, light_offsets, distant_offset,
+                                 light_steps),
+        p_active.reshape(-1, chunk, 3),
+    ).reshape(-1)
+    cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
+        cd_active, mode="drop"
+    )[:total].reshape(n, steps)
+
+    beers = jnp.exp(-params.density * cd * lss * 3.0)
+    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
+    beers_total = jnp.where(active, 2.0 * beers * powder, 0.0)
+
+    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
+        m.smoothstep(0.0, 1.0, hf)[..., None]
+    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
+        * t[..., None]
+    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
+        jnp.maximum(1e-7, t)[..., None]
+    L = jnp.sum(contrib, axis=1)
+    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+
+    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
+    return jnp.where(above[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "coarse_steps",
+                                   "chunk", "capacity_frac", "t_cutoff",
+                                   "ray_capacity_frac"))
+def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
+                       steps: int = 128, light_steps: int = 6,
+                       coarse_steps: int = 16, chunk: int = 16384,
+                       capacity_frac: float = 0.25, t_cutoff: float = 1e-4,
+                       ray_capacity_frac: float = 0.75,
+                       occupancy_margin: float = 0.3):
+    """Hierarchical raymarch (BASELINE config 5, the reference's TODO #1).
+
+    1. Coarse pass: `coarse_steps` pre-erosion density probes per ray at
+       mip 2 (32³ large-noise table + weather only) → per-coarse-cell
+       occupancy, dilated by one cell and padded by `occupancy_margin` for
+       conservatism.
+    2. Ray compaction: rays with an empty window (no cloud anywhere on the
+       shell segment, or below horizon) skip the fine march entirely.
+    3. Adaptive fine march: the full `steps` budget is re-distributed over
+       each surviving ray's occupied [a, b] t-window — empty-space skipping
+       with *more* effective resolution inside clouds than the fixed-step
+       reference (its "fewer steps towards horizon" comment never shipped).
+
+    Approximate by construction (sample placement differs from the fixed-step
+    reference); gated ≥ 40 dB against `march_bricks` in tests.
+    """
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    atmos = ambient_colors(params, sky_lut_img)
+
+    above, ndir, ss, p0, phase, ldir = _ray_setup(flat, params, steps)
+    shelldist = ss * steps
+    # p0 includes the jitter; recover the shell entry point for windowing.
+    cam = jnp.array([0.0, GROUND_RADIUS, 0.0], jnp.float32)
+    cam_b = jnp.broadcast_to(cam, ndir.shape)
+    start = cam + ndir * m.intersect_sphere_far(cam_b, ndir, SKY_B_RADIUS)[..., None]
+
+    # ---- 1. Coarse occupancy (chunked).
+    xz = jnp.array([0, 2])
+    k_c = (jnp.arange(coarse_steps, dtype=jnp.float32) + 0.5) / coarse_steps
+
+    def coarse_chunk(args):
+        startc, ndirc, sdc = args
+        p = startc[:, None, :] + ndirc[:, None, :] * (sdc[:, None] * k_c[None, :])[..., None]
+        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
+        pre, _ = _density_pre(p, weather, 2.0, params, bp)
+        return pre
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(start, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(shelldist, chunk, jnp.float32(1.0)),
+    )
+    pre_c = jax.lax.map(coarse_chunk, blocks).reshape(-1, coarse_steps)[:n]
+
+    occ = pre_c > -occupancy_margin
+    # One-cell dilation (zero-padded shifts — no wrap-around).
+    pad = jnp.zeros_like(occ[:, :1])
+    occ = occ | jnp.concatenate([pad, occ[:, :-1]], axis=1) | \
+        jnp.concatenate([occ[:, 1:], pad], axis=1)
+    any_occ = jnp.any(occ, axis=1) & above
+
+    idx_c = jnp.arange(coarse_steps)
+    big = coarse_steps + 1
+    first = jnp.min(jnp.where(occ, idx_c[None, :], big), axis=1)
+    last = jnp.max(jnp.where(occ, idx_c[None, :], -1), axis=1)
+    a = jnp.clip(first.astype(jnp.float32) / coarse_steps, 0.0, 1.0)
+    b = jnp.clip((last.astype(jnp.float32) + 1.0) / coarse_steps, 0.0, 1.0)
+    b = jnp.maximum(b, a + 1.0 / coarse_steps)
+
+    # ---- 2. Ray compaction.
+    ray_cap = max(int(n * ray_capacity_frac), chunk)
+    ray_cap += (-ray_cap) % chunk
+    ridx = jnp.nonzero(any_occ, size=ray_cap, fill_value=n)[0]
+    rsafe = jnp.minimum(ridx, n - 1)
+
+    ndir_r = ndir[rsafe]
+    start_r = start[rsafe]
+    sd_r = shelldist[rsafe]
+    a_r, b_r = a[rsafe], b[rsafe]
+    phase_r = phase[rsafe]
+    above_r = above[rsafe] & (ridx < n)
+
+    # ---- 3. Window-adjusted fine march through the shared compacted core.
+    ss_r = (b_r - a_r) * sd_r / steps
+    jitter = m.hash_iq(start_r * 10.0)  # same per-texel dither source
+    p0_r = start_r + ndir_r * (a_r * sd_r + jitter * ss_r)[..., None]
+
+    out_r = _march_core(above_r, ndir_r, ss_r, p0_r, phase_r, ldir, params,
+                        bp, atmos, steps, light_steps, chunk, capacity_frac,
+                        t_cutoff)
+
+    out = jnp.zeros((n + 1, 4), jnp.float32).at[ridx].set(
+        out_r, mode="drop"
+    )[:n]
+    return out.reshape(shape + (4,))
+
+
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk", "compact",
                                    "capacity_frac", "t_cutoff"))
 def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,

@@ -1,0 +1,92 @@
+"""Hierarchical raymarch (BASELINE config 5): quality vs the fixed-step
+estimator, measured against a high-step-count ground truth.
+
+The adaptive march re-distributes the step budget inside each ray's occupied
+t-window, so at equal step count it should *beat* the fixed-step march
+against a converged reference (it spends no samples on empty shell).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cloudscape_tpu.models import atmosphere
+from cloudscape_tpu.models.density import MarchParams
+from cloudscape_tpu.models.march_fast import (
+    BrickPack, march_bricks, march_hierarchical,
+)
+from cloudscape_tpu.models.packs import make_noise_pack
+from cloudscape_tpu.ops.octmap import texel_directions
+from cloudscape_tpu.utils.image import psnr
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from cloudscape_tpu.ops.noise import generate_base_noise
+    from cloudscape_tpu.utils.assets import load_bmp, slice_horizontal_3d
+
+    small = slice_horizontal_3d(
+        load_bmp("/root/reference/cloud_sky/worlnoise.bmp"), 32
+    )
+    weather = load_bmp("/root/reference/cloud_sky/weather.bmp")
+    noise = make_noise_pack(
+        np.asarray(generate_base_noise(32, seed=0)), small, weather
+    )
+    bp = BrickPack.from_noise(noise)
+    tlut = atmosphere.transmittance_lut()
+    sun = np.array([0.3, 0.4, -0.85])
+    sun /= np.linalg.norm(sun)
+    slut = atmosphere.sky_lut(tlut, jnp.asarray(sun, jnp.float32))
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]), detailed_pos=np.array([0.4, 0.2]),
+        weather_pos=np.array([0.01, 0.02]), time=12.5, cloud_coverage=0.35,
+        light_direction=sun, ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    dirs = texel_directions(32)
+    gt = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=256, chunk=1024,
+                     capacity_frac=0.5)
+    )
+    return bp, slut, params, dirs, gt
+
+
+def test_hierarchical_beats_fixed_at_equal_steps(setup):
+    bp, slut, params, dirs, gt = setup
+    fixed = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=64, chunk=1024,
+                     capacity_frac=0.5)
+    )
+    hier = np.asarray(
+        march_hierarchical(dirs, params, bp, slut, steps=64, chunk=1024,
+                           capacity_frac=0.5, coarse_steps=16)
+    )
+    p_fixed = psnr(fixed, gt)
+    p_hier = psnr(hier, gt)
+    assert p_hier > 35.0, f"hierarchical-64 only {p_hier:.1f} dB vs gt"
+    assert p_hier > p_fixed - 1.0, (
+        f"hierarchical ({p_hier:.1f} dB) should not trail fixed-step "
+        f"({p_fixed:.1f} dB) at equal budget"
+    )
+
+
+def test_hierarchical_empty_sky_is_zero(setup):
+    bp, slut, params, dirs, _ = setup
+    import dataclasses
+
+    clear = dataclasses.replace(params, cloud_coverage=jnp.float32(0.0))
+    out = np.asarray(
+        march_hierarchical(dirs, clear, bp, slut, steps=32, chunk=1024,
+                           coarse_steps=8)
+    )
+    assert np.abs(out).max() == 0.0
+
+
+def test_hierarchical_below_horizon_zero(setup):
+    bp, slut, params, _, _ = setup
+    d = np.array([[0.2, -0.5, 0.6], [0.0, -1.0, 0.0]])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(
+        march_hierarchical(jnp.asarray(d, jnp.float32), params, bp, slut,
+                           steps=16, chunk=64, coarse_steps=8)
+    )
+    np.testing.assert_array_equal(out, 0.0)
