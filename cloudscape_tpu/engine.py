@@ -73,6 +73,48 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("texture_size", "region", "steps", "light_steps",
+                     "kernel", "count"),
+    donate_argnums=(0,),
+)
+def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
+                        sky_img, *, texture_size: int, region: int,
+                        steps: int, light_steps: int, kernel: str,
+                        count: int):
+    """Render `count` consecutive tiles of the row-major sweep in ONE
+    dispatch (a fori_loop of tile updates over the donated ring).
+
+    The reference necessarily dispatches one tile per frame; for batch /
+    offline / warm-start use the whole cycle collapses into a single
+    executable — no per-tile host round trips.
+    """
+    tiles_per_row = texture_size // region
+
+    def body(k, ring):
+        tile = start_tile + k
+        x0 = (tile % tiles_per_row) * region
+        y0 = (tile // tiles_per_row) * region
+        dirs = texel_directions(texture_size, x0=x0, y0=y0,
+                                width=region, height=region)
+        if kernel == "fast":
+            from cloudscape_tpu.models.march_fast import march_bricks
+
+            out = march_bricks(dirs, params, noise, sky_img, steps=steps,
+                               light_steps=light_steps,
+                               chunk=min(region * region, 16384),
+                               capacity_frac=0.5)
+        else:
+            out = march(dirs, params, noise, sky_img, steps=steps,
+                        light_steps=light_steps)
+        return jax.lax.dynamic_update_slice(
+            ring, out[None], (tex_idx, y0, x0, 0)
+        )
+
+    return jax.lax.fori_loop(0, count, body, ring)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _update_sky_lut_slot(sky_ring, slot_idx, tlut, sun_direction):
     """Render the 200×100 sky-view LUT into ring[slot_idx]
@@ -129,6 +171,34 @@ class CloudSkyEngine:
         self._sky_lut_needs_full_update = True  # sky_lut.gd `needs_full_update`
         self._refresh_frame_data(now)
 
+        # Validate-then-enable, like the reference's invalid-shader guard
+        # (`cloud_sky.gd:362-364`: a kernel that fails to build sets
+        # can_run=false and the driver no-ops instead of crashing).
+        self.can_run = self._validate_kernels()
+
+    def _validate_kernels(self) -> bool:
+        """Abstract-eval the tile-update kernel with this engine's shapes;
+        a trace/shape error disables the engine rather than raising from the
+        render loop."""
+        try:
+            noise_arg = self._bricks if self.kernel == "fast" else self.noise
+            jax.eval_shape(
+                partial(
+                    _update_tile,
+                    texture_size=self.perf.texture_size,
+                    region=self.perf.update_region_size,
+                    steps=self.perf.march_steps,
+                    light_steps=self.perf.light_steps,
+                    kernel=self.kernel,
+                ),
+                self.cloud_ring, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                self._march_params, noise_arg, self.sky_ring[0],
+            )
+            return True
+        except Exception as e:  # pragma: no cover - defensive path
+            print(f"cloudscape_tpu: kernel validation failed, engine disabled: {e}")
+            return False
+
     # ------------------------------------------------------------------ API
 
     def set_sun(self, direction, energy: float = 1.0, color=(1.0, 1.0, 1.0),
@@ -176,18 +246,76 @@ class CloudSkyEngine:
             )
             self.ring.advance_sky_lut()
 
+    def _batch_remaining_tiles(self) -> None:
+        """Render every remaining tile of the current cycle in one dispatch
+        and advance the cursor/frame state to the cycle end."""
+        n_frames = self.perf.frames_to_update
+        region = self.perf.update_region_size
+        tiles_per_row = self.perf.texture_size // region
+        x, y = self.ring.update_position
+        start_tile = (y // region) * tiles_per_row + (x // region)
+        remaining = n_frames - self.ring.frame
+        if remaining <= 0:
+            return
+        self.cloud_ring = _update_tiles_batch(
+            self.cloud_ring,
+            jnp.int32(self.ring.texture_to_update),
+            jnp.int32(start_tile),
+            self._march_params,
+            self._bricks if self.kernel == "fast" else self.noise,
+            self.sky_ring[self.ring.cloud_kernel_sky_slot],
+            texture_size=self.perf.texture_size,
+            region=region,
+            steps=self.perf.march_steps,
+            light_steps=self.perf.light_steps,
+            kernel=self.kernel,
+            count=remaining,
+        )
+        self.ring.update_position = (0, 0)
+        self.ring.frame = n_frames
+        self._blend_amount = 1.0
+
+    def update_cycle(self, now: Optional[float] = None) -> None:
+        """Complete one full amortized cycle in a single device dispatch.
+
+        Batch/offline counterpart of the per-frame `update_sky` (the
+        reference has no analog — it must spread work over frames for a
+        60 Hz display; a serving deployment rendering discrete frames wants
+        the whole hemisphere per call without per-tile host round trips).
+        Scheduling semantics (rotation, FrameData snapshot, LUT phasing)
+        are identical.
+        """
+        if not getattr(self, "can_run", True):
+            return
+        now = self._now(now)
+        if self.needs_full_sky_init:
+            self.needs_full_sky_init = False
+            self.initialize_sky(now)
+        if self.ring.frame >= self.perf.frames_to_update:
+            self.ring.rotate_cloud()
+            self._refresh_frame_data(now)
+            self._render_sky_lut()
+        self._batch_remaining_tiles()
+
     def initialize_sky(self, now: float) -> None:
-        """Warm start (`cloud_sky.gd:123-127`): 2×frames_to_update synchronous
-        updates so the sky is complete on the first visible frame."""
+        """Warm start (`cloud_sky.gd:123-127`): two full synchronous cycles
+        so the sky is complete on the first visible frame — batched into two
+        dispatches."""
         self._refresh_frame_data(now)
         self._render_sky_lut()
-        for _ in range(self.perf.frames_to_update * 2):
-            self.update_sky(now)
+        for _ in range(2):
+            if self.ring.frame >= self.perf.frames_to_update:
+                self.ring.rotate_cloud()
+                self._refresh_frame_data(now)
+                self._render_sky_lut()
+            self._batch_remaining_tiles()
 
     def update_sky(self, now: Optional[float] = None) -> None:
         """One per-frame tick (`cloud_sky.gd:129-163`): rotate rings at cycle
         boundaries, refresh FrameData + sky LUT, dispatch one tile update,
         advance the cursor."""
+        if not getattr(self, "can_run", True):  # `cloud_sky.gd:130-131`
+            return
         now = self._now(now)
         if self.needs_full_sky_init:
             self.needs_full_sky_init = False

@@ -39,11 +39,25 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(list(devices), (axis_name,))
 
 
-@partial(jax.jit, static_argnames=("steps", "light_steps", "mesh", "axis_name"))
+def _march_for(kernel: str, steps: int, light_steps: int):
+    """Per-shard march callable: reference (NoisePack) or fast (BrickPack)."""
+    if kernel == "fast":
+        from cloudscape_tpu.models.march_fast import march_bricks
+
+        return lambda d, p, n, s: march_bricks(
+            d, p, n, s, steps=steps, light_steps=light_steps,
+            chunk=16384, capacity_frac=0.3,
+        )
+    return lambda d, p, n, s: march(d, p, n, s, steps=steps,
+                                    light_steps=light_steps)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "mesh",
+                                   "axis_name", "kernel"))
 def _render_sharded(dirs, params, noise, sky_img, *, steps, light_steps, mesh,
-                    axis_name):
+                    axis_name, kernel):
     shard = jax.shard_map(
-        lambda d, p, n, s: march(d, p, n, s, steps=steps, light_steps=light_steps),
+        _march_for(kernel, steps, light_steps),
         mesh=mesh,
         in_specs=(P(axis_name), P(), P(), P()),
         out_specs=P(axis_name),
@@ -52,14 +66,16 @@ def _render_sharded(dirs, params, noise, sky_img, *, steps, light_steps, mesh,
 
 
 def render_hemisphere_sharded(mesh: Mesh, texture_size: int,
-                              params: MarchParams, noise: NoisePack, sky_img,
+                              params: MarchParams, noise, sky_img,
                               steps: int = 128, light_steps: int = 6,
-                              axis_name: str = "rays"):
+                              axis_name: str = "rays",
+                              kernel: str = "reference"):
     """Monolithic full-hemisphere render with rows sharded over the mesh.
 
-    texture_size rows must divide the mesh size. Returns [N, N, 4] with the
-    row axis sharded (device_put'ed lazily by XLA; call jax.device_get or
-    np.asarray to assemble on host).
+    texture_size rows must divide the mesh size. `noise` is a NoisePack
+    (kernel="reference") or BrickPack (kernel="fast"); both are replicated.
+    Returns [N, N, 4] with the row axis sharded (device_put'ed lazily by
+    XLA; call jax.device_get or np.asarray to assemble on host).
     """
     n_dev = mesh.devices.size
     if texture_size % n_dev != 0:
@@ -72,7 +88,7 @@ def render_hemisphere_sharded(mesh: Mesh, texture_size: int,
     )
     return _render_sharded(dirs, params, noise, sky_img, steps=steps,
                            light_steps=light_steps, mesh=mesh,
-                           axis_name=axis_name)
+                           axis_name=axis_name, kernel=kernel)
 
 
 @partial(jax.jit, static_argnames=("texture_size", "steps", "light_steps",

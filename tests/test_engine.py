@@ -168,6 +168,47 @@ def test_save_restore_roundtrip(engine, tiny_noise):
     assert fresh.blend_amount == engine.blend_amount
 
 
+def test_update_cycle_equals_ticked_cycle(tiny_noise):
+    """One batched `update_cycle` dispatch must produce the same ring
+    contents as N individual `update_sky` ticks at a static scene."""
+    kw = dict(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
+              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise)
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw)
+
+    a.update_sky(now=0.0)  # warm start + first tile of the new cycle
+    while a.ring.frame < a.perf.frames_to_update:
+        a.update_sky(now=0.0)
+
+    b.update_cycle(now=0.0)  # warm start + one batched cycle
+
+    assert a.ring.texture_to_update == b.ring.texture_to_update
+    np.testing.assert_allclose(
+        np.asarray(a.cloud_ring), np.asarray(b.cloud_ring), atol=1e-6
+    )
+    # Continued stepping stays consistent.
+    a.update_sky(now=0.5)
+    b.update_sky(now=0.5)
+    assert a.ring.frame == b.ring.frame
+    np.testing.assert_allclose(
+        np.asarray(a.cloud_ring), np.asarray(b.cloud_ring), atol=1e-6
+    )
+
+
+def test_can_run_gate(engine):
+    """Validate-then-enable (`cloud_sky.gd:362-364` analog): a disabled
+    engine no-ops instead of crashing."""
+    assert engine.can_run  # validation passed for a healthy config
+    engine.update_sky(now=0.0)
+    frame_before = engine.ring.frame
+    engine.can_run = False
+    engine.update_sky(now=1.0)
+    assert engine.ring.frame == frame_before  # no-op
+    engine.can_run = True
+    engine.update_sky(now=1.0)
+    assert engine.ring.frame != frame_before
+
+
 def test_sun_change_picked_up_at_cycle_boundary(engine):
     engine.update_sky(now=0.0)
     old_dir = engine.frame_data.light_direction.copy()

@@ -51,6 +51,27 @@ def test_sharded_render_bitwise_equals_single(setup):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_fast_kernel_matches_single(setup):
+    """The production (brick/compacted) kernel under shard_map: sharded ≡
+    unsharded to fp-reassociation tolerance."""
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+
+    noise, _, slut, params, _ = setup
+    bp = BrickPack.from_noise(noise)
+    mesh = sharding.make_mesh()
+    n = 64
+    shard = np.asarray(
+        sharding.render_hemisphere_sharded(mesh, n, params, bp, slut,
+                                           steps=8, light_steps=2,
+                                           kernel="fast")
+    )
+    single = np.asarray(
+        march_bricks(texel_directions(n), params, bp, slut, steps=8,
+                     light_steps=2, chunk=16384, capacity_frac=0.3)
+    )
+    np.testing.assert_allclose(shard, single, atol=1e-6)
+
+
 def test_indivisible_rows_raise(setup):
     noise, _, slut, params, _ = setup
     mesh = sharding.make_mesh()
