@@ -55,6 +55,9 @@ def main() -> None:
     ap.add_argument("--coverage", type=float, default=0.4)
     ap.add_argument("--wind-speed", type=float, default=30.0)
     ap.add_argument("--kernel", default="fast", choices=("fast", "reference"))
+    ap.add_argument("--ticked", action="store_true",
+                    help="per-frame tile ticks (display mode) instead of "
+                         "one batched cycle dispatch per output frame")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -100,10 +103,14 @@ def main() -> None:
         sun /= np.linalg.norm(sun)
         engine.set_sun(tuple(sun), energy=1.0)
 
-        with timer.stage("update_ticks", rays=tile_rays * ticks_per_frame):
-            for _ in range(ticks_per_frame):
-                sim_t += 1.0 / 60.0
-                engine.update_sky(now=sim_t)
+        with timer.stage("update", rays=tile_rays * ticks_per_frame):
+            if args.ticked:
+                for _ in range(ticks_per_frame):
+                    sim_t += 1.0 / 60.0
+                    engine.update_sky(now=sim_t)
+            else:
+                sim_t += ticks_per_frame / 60.0
+                engine.update_cycle(now=sim_t)
             timer.fence(engine.cloud_ring)
 
         with timer.stage("render_view", rays=args.width * args.height):
