@@ -62,7 +62,21 @@ class BrickPack:
     weather: BrickTable2D
 
     @staticmethod
-    def from_noise(noise: NoisePack) -> "BrickPack":
+    def from_noise(noise: NoisePack, dtype=None) -> "BrickPack":
+        """dtype: storage dtype for the 3D noise tables (None = float32;
+        jnp.bfloat16 halves table HBM and is ~10% faster on the dense phase
+        at a small quantization cost — measured ≥ the 40 dB gate, see
+        tests/test_brick.py). The weather table stays f32 (its coverage
+        channel feeds a hard threshold)."""
+        import dataclasses as _dc
+
+        def cast(vol):
+            if dtype is None:
+                return vol
+            if isinstance(vol, BrickTable3D):
+                return _dc.replace(vol, table=vol.table.astype(dtype))
+            return _dc.replace(vol, row=vol.row.astype(dtype))
+
         large_levels = []
         for lvl in noise.large:
             a = np.asarray(lvl)
@@ -71,9 +85,9 @@ class BrickPack:
                 axis=-1,
             )
             if combined.size <= 128:
-                large_levels.append(build_tiny3(combined))
+                large_levels.append(cast(build_tiny3(combined)))
             else:
-                large_levels.append(build_brick3(combined, (4, 4, 4), (3, 3, 3)))
+                large_levels.append(cast(build_brick3(combined, (4, 4, 4), (3, 3, 3))))
         small_levels = []
         for lvl in noise.small:
             a = np.asarray(lvl)
@@ -81,9 +95,9 @@ class BrickPack:
                 a[..., 0] * 0.625 + a[..., 1] * 0.25 + a[..., 2] * 0.125
             )[..., None]
             if combined.size <= 128:
-                small_levels.append(build_tiny3(combined))
+                small_levels.append(cast(build_tiny3(combined)))
             else:
-                small_levels.append(build_brick3(combined, (8, 4, 4), (7, 3, 3)))
+                small_levels.append(cast(build_brick3(combined, (8, 4, 4), (7, 3, 3))))
         w = np.asarray(noise.weather)
         weather = build_brick2(
             np.stack([w[..., 0], w[..., 2]], axis=-1), (8, 8), (7, 7)

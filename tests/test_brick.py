@@ -114,6 +114,24 @@ def test_march_bricks_matches_march(march_setup):
     assert (ref[..., 3] > 0.1).mean() > 0.03  # scene non-trivial
 
 
+def test_march_bricks_bf16_tables_hold_gate(march_setup):
+    """bf16 noise-table storage (opt-in, ~10% faster dense phase) must stay
+    above the 40 dB fidelity gate vs the f32 tables."""
+    import jax.numpy as jnp
+
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+    from cloudscape_tpu.ops.octmap import texel_directions
+
+    noise, slut, params = march_setup
+    bp32 = BrickPack.from_noise(noise)
+    bp16 = BrickPack.from_noise(noise, dtype=jnp.bfloat16)
+    dirs = texel_directions(32)
+    a = np.asarray(march_bricks(dirs, params, bp32, slut, steps=16))
+    b = np.asarray(march_bricks(dirs, params, bp16, slut, steps=16))
+    p = psnr(b, a)
+    assert p > 40.0, f"bf16 tables: {p:.1f} dB"
+
+
 def test_march_bricks_chunking_invariance(march_setup):
     """Chunked (lax.map) and unchunked paths must agree to fp-reassociation
     precision (different chunk shapes fuse differently → 1-ULP deltas)."""
