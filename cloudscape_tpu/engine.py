@@ -76,6 +76,43 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
+                     "kernel", "mesh", "axis_name"),
+    donate_argnums=(0,),
+)
+def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
+                      sky_img, *, texture_size: int, region: int, steps: int,
+                      light_steps: int, kernel: str, mesh, axis_name: str):
+    """Multi-chip tile update: the tile's rays are sharded over the mesh
+    rows (shard_map, zero collectives inside the march — rays share only
+    replicated read-only inputs), the ring stays replicated (28 MB at the
+    reference's 768² default — cheaper than sharding state that every
+    display composite reads in full)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cloudscape_tpu.models.march_fast import march_bricks
+
+    dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
+                            height=region)
+
+    def shard_fn(d, p, n, s):
+        if kernel == "fast":
+            return march_bricks(d, p, n, s, steps=steps,
+                                light_steps=light_steps,
+                                chunk=max(d.shape[0] * d.shape[1], 1),
+                                capacity_frac=0.5)
+        return march(d, p, n, s, steps=steps, light_steps=light_steps)
+
+    tile = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P()),
+        out_specs=P(axis_name),
+    )(dirs, params, noise, sky_img)
+    return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("texture_size", "region", "steps", "light_steps",
                      "kernel", "count"),
     donate_argnums=(0,),
 )
@@ -139,14 +176,25 @@ class CloudSkyEngine:
         noise: Optional[NoisePack] = None,
         now: float = 0.0,
         kernel: str = "fast",
+        mesh=None,
     ):
         """kernel: "fast" (brick-table, occupancy-compacted march — the
         production path) or "reference" (scan-based march, the numerics
-        anchor; both gated against the f64 oracle)."""
+        anchor; both gated against the f64 oracle).
+
+        mesh: an optional `jax.sharding.Mesh` — tile updates compute with
+        rays sharded over the mesh's first axis (ICI), state replicated.
+        The tile edge must divide the mesh size."""
         if kernel not in ("fast", "reference"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
+        self.mesh = mesh
         self.perf = perf.validate()
+        if mesh is not None and self.perf.update_region_size % mesh.devices.size:
+            raise ValueError(
+                f"update_region_size {self.perf.update_region_size} must "
+                f"divide the mesh size {mesh.devices.size}"
+            )
         self.config = config
         self.sun = sun
         self.noise = noise if noise is not None else reference_noise_pack()
@@ -331,7 +379,14 @@ class CloudSkyEngine:
         # this update.
         self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
 
-        self.cloud_ring = _update_tile(
+        common = dict(
+            texture_size=self.perf.texture_size,
+            region=self.perf.update_region_size,
+            steps=self.perf.march_steps,
+            light_steps=self.perf.light_steps,
+            kernel=self.kernel,
+        )
+        args = (
             self.cloud_ring,
             jnp.int32(self.ring.texture_to_update),
             jnp.int32(self.ring.update_position[0]),
@@ -339,12 +394,14 @@ class CloudSkyEngine:
             self._march_params,
             self._bricks if self.kernel == "fast" else self.noise,
             self.sky_ring[self.ring.cloud_kernel_sky_slot],
-            texture_size=self.perf.texture_size,
-            region=self.perf.update_region_size,
-            steps=self.perf.march_steps,
-            light_steps=self.perf.light_steps,
-            kernel=self.kernel,
         )
+        if self.mesh is not None:
+            self.cloud_ring = _update_tile_mesh(
+                *args, mesh=self.mesh, axis_name=self.mesh.axis_names[0],
+                **common,
+            )
+        else:
+            self.cloud_ring = _update_tile(*args, **common)
         self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
 
     # --------------------------------------------------------------- display

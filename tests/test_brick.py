@@ -132,6 +132,23 @@ def test_march_bricks_bf16_tables_hold_gate(march_setup):
     assert p > 40.0, f"bf16 tables: {p:.1f} dB"
 
 
+def test_march_bricks_approx_light_holds_gate(march_setup):
+    """approx_light (shared cone weather) saves 6/17 light rows; the cone
+    spans ≲0.1 weather texel so the deltas must stay far above the gate."""
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+    from cloudscape_tpu.ops.octmap import texel_directions
+
+    noise, slut, params = march_setup
+    bp = BrickPack.from_noise(noise)
+    dirs = texel_directions(32)
+    exact = np.asarray(march_bricks(dirs, params, bp, slut, steps=16))
+    approx = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, approx_light=True)
+    )
+    p = psnr(approx, exact)
+    assert p > 45.0, f"approx_light: {p:.1f} dB"
+
+
 def test_march_bricks_chunking_invariance(march_setup):
     """Chunked (lax.map) and unchunked paths must agree to fp-reassociation
     precision (different chunk shapes fuse differently → 1-ULP deltas)."""

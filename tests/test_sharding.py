@@ -79,6 +79,30 @@ def test_indivisible_rows_raise(setup):
         sharding.render_hemisphere_sharded(mesh, 60, params, noise, slut)
 
 
+def test_mesh_engine_matches_single_device(setup):
+    """CloudSkyEngine(mesh=...) must step identically to the single-device
+    engine (tile compute sharded, state replicated)."""
+    from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
+    from cloudscape_tpu.engine import CloudSkyEngine
+
+    noise, _, _, _, sun = setup
+    kw = dict(
+        perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=tuple(sun)),
+        noise=noise,
+    )
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw, mesh=sharding.make_mesh())
+    for k in range(3):
+        a.update_sky(now=0.1 * k)
+        b.update_sky(now=0.1 * k)
+    np.testing.assert_allclose(
+        np.asarray(a.cloud_ring), np.asarray(b.cloud_ring), atol=1e-6
+    )
+
+
 def test_full_frame_step_sharded(setup):
     noise, tlut, _, params, sun = setup
     mesh = sharding.make_mesh()
