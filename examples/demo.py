@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import numpy as np
 
@@ -69,7 +68,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from cloudscape_tpu import CloudConfig, CloudSkyEngine, PerfConfig, SunState
+    from cloudscape_tpu import CloudConfig, CloudSkyEngine, PerfConfig
     from cloudscape_tpu.utils.image import tonemap_aces, write_png
     from cloudscape_tpu.utils.profiling import StageTimer
 

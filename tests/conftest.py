@@ -21,6 +21,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys
+
+# Import robustness for fresh checkouts (pytest puts tests/ on sys.path, not
+# the repo root; an editable install also works but don't require it).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402

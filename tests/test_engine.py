@@ -2,8 +2,6 @@
 integration, warm start, checkpoint/resume (SURVEY.md §4 integration tests).
 """
 
-import dataclasses
-
 import numpy as np
 import jax.numpy as jnp
 import pytest

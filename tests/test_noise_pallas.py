@@ -5,7 +5,6 @@ the parity gates here cover the real kernel logic.
 """
 
 import numpy as np
-import pytest
 
 from cloudscape_tpu.ops import noise, noise_pallas
 
