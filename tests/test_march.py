@@ -125,6 +125,47 @@ def test_march_matches_oracle(small_noise, luts):
     assert (got[..., 3] > 0.1).mean() > 0.05, "test scene rendered no clouds"
 
 
+def test_march_matches_oracle_second_scene(small_noise, luts):
+    """A second scene widens the golden gate: low sun (sunset lighting,
+    strong elevation-dependent HG lobe), heavy coverage, large wind
+    integrals exercising the base/detail/weather offsets."""
+    tlut, _, _ = luts
+    from cloudscape_tpu.models import atmosphere
+
+    sun = np.array([0.9, 0.08, 0.42])
+    sun /= np.linalg.norm(sun)
+    slut = np.asarray(atmosphere.sky_lut(
+        jnp.asarray(tlut, jnp.float32), jnp.asarray(sun, jnp.float32)))
+
+    prm = dict(
+        cloud_pos=np.array([240.0, -180.0]),
+        detailed_pos=np.array([33.0, 12.5]),
+        weather_pos=np.array([0.21, -0.34]),
+        time=4807.0,
+        density=0.08,
+        cloud_coverage=0.6,
+        light_direction=sun,
+        light_energy=1.6,
+        light_color=np.array([1.0, 0.8, 0.6]),
+        ground_color=np.array([0.5, 0.4, 0.3]),
+    )
+    jp = MarchParams.create(**prm)
+    n = 32
+    dirs = np.asarray(octmap.texel_directions(n))
+    got = np.asarray(
+        march_mod.march(jnp.asarray(dirs, jnp.float32), jp, small_noise,
+                        jnp.asarray(slut, jnp.float32), steps=24)
+    )
+    large_np, small_np, weather_np = _np_pyramids(small_noise)
+    want = ref.cloud_march_ref(
+        dirs.astype(np.float64), prm, large_np, small_np, weather_np,
+        slut.astype(np.float64), steps=24,
+    )
+    p = psnr(got, want)
+    assert p > 40.0, f"second scene PSNR {p:.1f} dB"
+    assert (want[..., 3] > 0.1).mean() > 0.1, "second scene rendered no clouds"
+
+
 def test_march_below_horizon_is_zero(small_noise, luts):
     _, slut, sun = luts
     dirs = np.array([[0.0, -1.0, 0.0], [0.7, -0.1, 0.7]])
