@@ -261,6 +261,32 @@ class CloudSkyEngine:
         (FrameData semantics)."""
         self.config = config
 
+    def set_performance(self, perf: PerfConfig) -> None:
+        """Performance-settings change — the analog of the reference's
+        `frames_to_update` / `texture_size` setters (`cloud_sky.gd:35-50`):
+        tear down the texture rings, re-derive tile math (with the
+        divisibility auto-correction), and request a full warm re-init.
+        Jitted executables for the new shapes compile on the next tick."""
+        corrected = perf.validate()
+        if corrected.texture_size != perf.texture_size:
+            # `cloud_sky.gd:114` prints the same correction notice.
+            print(
+                "cloudscape_tpu: texture_size is not a multiple of "
+                f"sqrt(frames_to_update), changing to: {corrected.texture_size}"
+            )
+        if self.mesh is not None and \
+                corrected.update_region_size % self.mesh.devices.size:
+            raise ValueError(
+                f"update_region_size {corrected.update_region_size} must "
+                f"divide the mesh size {self.mesh.devices.size}"
+            )
+        self.perf = corrected
+        n = self.perf.texture_size
+        self.cloud_ring = jnp.zeros((3, n, n, 4), jnp.float32)
+        self.ring.reset()
+        self.request_full_sky_init()
+        self.can_run = self._validate_kernels()
+
     def request_full_sky_init(self) -> None:
         """`cloud_sky.gd:120-121`."""
         self.needs_full_sky_init = True

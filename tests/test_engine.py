@@ -193,6 +193,23 @@ def test_update_cycle_equals_ticked_cycle(tiny_noise):
     )
 
 
+def test_set_performance_rebuilds(engine):
+    """Performance setters tear down and warm-rebuild (`cloud_sky.gd:35-50`)."""
+    engine.update_sky(now=0.0)
+    engine.set_performance(PerfConfig(texture_size=16, frames_to_update=4,
+                                      march_steps=4, light_steps=2))
+    assert engine.needs_full_sky_init
+    assert engine.cloud_ring.shape == (3, 16, 16, 4)
+    assert engine.ring.frame == 0 and engine.ring.update_position == (0, 0)
+    engine.update_sky(now=1.0)  # warm re-init at the new shapes
+    ring = np.asarray(engine.cloud_ring)
+    assert np.abs(ring).max() > 0.0
+    # Auto-correction path (36 % sqrt(16) == 0 is fine; 38 is not).
+    engine.set_performance(PerfConfig(texture_size=38, frames_to_update=16,
+                                      march_steps=4, light_steps=2))
+    assert engine.perf.texture_size == 36
+
+
 def test_can_run_gate(engine):
     """Validate-then-enable (`cloud_sky.gd:362-364` analog): a disabled
     engine no-ops instead of crashing."""
