@@ -454,6 +454,20 @@ class CloudSkyEngine:
             jnp.float32(self.config.sun_disk_scale),
         )
 
+    def render_frame(self, eyedirs, now: Optional[float] = None,
+                     amortized: bool = True) -> jax.Array:
+        """One-call serving API: advance the sim and composite a camera frame.
+
+        amortized=True ticks one tile (the reference's per-display-frame
+        cost); amortized=False completes a whole cycle first (discrete-frame
+        rendering, e.g. offline sequences).
+        """
+        if amortized:
+            self.update_sky(now)
+        else:
+            self.update_cycle(now)
+        return self.render_view(eyedirs)
+
     def render_full_hemisphere(self, params: Optional[MarchParams] = None,
                                sky_img=None) -> jax.Array:
         """Monolithic full-map render (no amortization) — the benchmark path
