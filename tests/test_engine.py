@@ -193,6 +193,19 @@ def test_update_cycle_equals_ticked_cycle(tiny_noise):
     )
 
 
+def test_render_frame_api(engine):
+    dirs = np.array([[0.1, 0.8, -0.5], [0.9, 0.2, 0.3]])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = jnp.asarray(dirs, jnp.float32)
+    img = np.asarray(engine.render_frame(d, now=0.0))  # amortized tick
+    assert img.shape == (2, 3) and np.isfinite(img).all()
+    frame_after_tick = engine.ring.frame
+    img2 = np.asarray(engine.render_frame(d, now=0.1, amortized=False))
+    assert engine.ring.frame == engine.perf.frames_to_update  # full cycle
+    assert np.isfinite(img2).all()
+    assert frame_after_tick != engine.ring.frame
+
+
 def test_set_performance_rebuilds(engine):
     """Performance setters tear down and warm-rebuild (`cloud_sky.gd:35-50`)."""
     engine.update_sky(now=0.0)
