@@ -193,6 +193,38 @@ def test_update_cycle_equals_ticked_cycle(tiny_noise):
     )
 
 
+def test_render_view_blend_pair_wiring(engine):
+    """render_view must composite exactly mix(blend_from, blend_to, frame/N)
+    with the two sky-LUT backbuffers (SURVEY.md §4: the triple-buffer blend
+    matches the reference's shader bindings, `cloud_sky.gd:144-152`)."""
+    from cloudscape_tpu.models.compositor import composite
+
+    engine.update_sky(now=0.0)
+    for _ in range(3):
+        engine.update_sky(now=0.0)
+
+    dirs = np.array([[0.2, 0.7, -0.6], [0.8, 0.1, 0.5], [-0.4, 0.4, 0.8]])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = jnp.asarray(dirs, jnp.float32)
+
+    got = np.asarray(engine.render_view(d))
+    b0, b1 = engine.ring.sky_back_textures
+    want = np.asarray(composite(
+        d,
+        engine.cloud_ring[engine.ring.texture_to_blend_from],
+        engine.cloud_ring[engine.ring.texture_to_blend_to],
+        engine.sky_ring[b0],
+        engine.sky_ring[b1],
+        engine.transmittance,
+        jnp.float32(engine.blend_amount),
+        jnp.asarray(engine.frame_data.light_direction, jnp.float32),
+        jnp.float32(engine.config.sun_disk_scale),
+    ))
+    np.testing.assert_array_equal(got, want)
+    # blend_amount must reflect the pre-dispatch frame count.
+    assert engine.blend_amount == (engine.ring.frame - 1) / engine.perf.frames_to_update
+
+
 def test_render_frame_api(engine):
     dirs = np.array([[0.1, 0.8, -0.5], [0.9, 0.2, 0.3]])
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
