@@ -284,6 +284,20 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     return jnp.where(above[..., None], out, 0.0)
 
 
+def _compact_indices(mask_flat, capacity: int, total: int):
+    """Indices of the first `capacity` True entries, padded with `total`.
+
+    Equivalent to jnp.nonzero(mask, size=capacity, fill_value=total) but via
+    cumsum + scatter — jnp.nonzero lowers to a full SORT on TPU (~90 ms per
+    call at 67M elements, seen in device traces)."""
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1  # destination slot
+    pos = jnp.where(mask_flat, pos, capacity)  # inactive → dropped
+    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    return jnp.full((capacity + 1,), total, jnp.int32).at[pos].set(
+        src, mode="drop"
+    )[:capacity]
+
+
 def _pad_blocks(flat, chunk, fill):
     """Pad leading dim to a chunk multiple and reshape to [k, chunk, ...]."""
     n = flat.shape[0]
@@ -297,7 +311,7 @@ def _pad_blocks(flat, chunk, fill):
 def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
                    steps: int, light_steps: int, chunk: int,
                    capacity_frac: float, t_cutoff: float,
-                   approx_light: bool = False):
+                   approx_light: bool = False, cone_cache=None):
     """Occupancy-compacted march over all rays at once.
 
     The secondary light march (`clouds.glsl:184-199`) only contributes where
@@ -357,16 +371,21 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
     active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
-    idx = jnp.nonzero(active.reshape(-1), size=capacity, fill_value=total)[0]
+    idx = _compact_indices(active.reshape(-1), capacity, total)
     p_active = positions_for(idx)
 
-    def light_chunk(p_blk):
-        return _cone_density(p_blk, params, bp, light_offsets, distant_offset,
-                             light_steps, approx_weather=approx_light)
+    if cone_cache is not None:
+        q = _cone_cache_coords(p_active, cone_cache.extent)
+        cd_active = sample_brick3(cone_cache.table, q)[..., 0]
+    else:
+        def light_chunk(p_blk):
+            return _cone_density(p_blk, params, bp, light_offsets,
+                                 distant_offset, light_steps,
+                                 approx_weather=approx_light)
 
-    cd_active = jax.lax.map(
-        light_chunk, p_active.reshape(-1, chunk, 3)
-    ).reshape(-1)
+        cd_active = jax.lax.map(
+            light_chunk, p_active.reshape(-1, chunk, 3)
+        ).reshape(-1)
 
     cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
         cd_active, mode="drop"
@@ -388,6 +407,81 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
 
     out = jnp.concatenate([L, alpha[..., None]], axis=-1)
     return jnp.where(above[..., None], out, 0.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConeCache:
+    """Shell-aligned cone-density field (the volumetric analog of a deep
+    shadow map): cd = `_cone_density` precomputed on a (height-fraction,
+    warped-z, warped-x) grid, valid for one FrameData snapshot (one
+    amortized cycle). Collapses the 17-row secondary march into one
+    brick-row lookup per active sample.
+
+    The horizontal axes use a sqrt warp (like the sky LUT's elevation warp,
+    `sky-lut.glsl:290-291`): x = sign(l)·l²·extent with l = 2(x̂-0.5), which
+    concentrates resolution near the viewer where visible clouds are close
+    (≈6 m cells at 1 km, ≈2.3 km cells at the 220 km horizon edge)."""
+
+    table: BrickTable3D  # clamp-wrap, 1 channel (cd)
+    extent: float = dataclasses.field(default=220e3,
+                                      metadata=dict(static=True))
+
+
+def _cone_cache_coords(p, extent: float):
+    """World position → cache uvw (x̂, ẑ, hf)."""
+    def warp(v):
+        return 0.5 + 0.5 * jnp.sign(v) * jnp.sqrt(jnp.abs(v) / extent)
+
+    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS,
+                           SKY_T_RADIUS)
+    return jnp.stack([warp(p[..., 0]), warp(p[..., 2]), hf], axis=-1)
+
+
+def build_cone_cache(params: MarchParams, bp: BrickPack,
+                     light_steps: int = 6, res=(16, 256, 256),
+                     extent: float = 220e3, chunk: int = 16384) -> ConeCache:
+    """Evaluate `_cone_density` on the cache grid (device-side, chunked) and
+    pack it into a clamp-wrap brick table. res = (n_hf, n_z, n_x)."""
+    nd, nh, nw = res
+    ldir = params.light_direction / jnp.linalg.norm(params.light_direction)
+    light_offsets, distant_offset, _ = _light_offsets(ldir, light_steps)
+
+    def unwarp(c):
+        l = 2.0 * (c - 0.5)
+        return jnp.sign(l) * l * l * extent
+
+    xs = unwarp((jnp.arange(nw, dtype=jnp.float32) + 0.5) / nw)
+    zs = unwarp((jnp.arange(nh, dtype=jnp.float32) + 0.5) / nh)
+    hfs = (jnp.arange(nd, dtype=jnp.float32) + 0.5) / nd
+    r = SKY_B_RADIUS + hfs * (SKY_T_RADIUS - SKY_B_RADIUS)
+
+    x = xs[None, None, :]
+    z = zs[None, :, None]
+    rr = r[:, None, None]
+    rho2 = x * x + z * z
+    # Beyond-horizon grid cells have no valid shell point; clamp onto the
+    # shell (those cells are never queried by real samples).
+    y = jnp.sqrt(jnp.maximum(rr * rr - rho2, 1.0))
+    p = jnp.stack(jnp.broadcast_arrays(x, y, z), axis=-1).reshape(-1, 3)
+
+    n = p.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        p = jnp.concatenate(
+            [p, jnp.broadcast_to(p[-1], (pad, 3))], axis=0
+        )
+    cd = jax.lax.map(
+        lambda blk: _cone_density(blk, params, bp, light_offsets,
+                                  distant_offset, light_steps),
+        p.reshape(-1, chunk, 3),
+    ).reshape(-1)[:n]
+
+    vol = cd.reshape(nd, nh, nw, 1)
+    from cloudscape_tpu.ops.brick import build_brick3_device
+
+    table = build_brick3_device(vol, (8, 4, 4), (7, 3, 3), wrap="clamp")
+    return ConeCache(table=table, extent=extent)
 
 
 def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
@@ -434,7 +528,7 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
-    idx = jnp.nonzero(active.reshape(-1), size=capacity, fill_value=total)[0]
+    idx = _compact_indices(active.reshape(-1), capacity, total)
     p_active = positions_for(idx)
 
     cd_active = jax.lax.map(
@@ -539,7 +633,7 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
     # ---- 2. Ray compaction.
     ray_cap = max(int(n * ray_capacity_frac), chunk)
     ray_cap += (-ray_cap) % chunk
-    ridx = jnp.nonzero(any_occ, size=ray_cap, fill_value=n)[0]
+    ridx = _compact_indices(any_occ, ray_cap, n)
     rsafe = jnp.minimum(ridx, n - 1)
 
     ndir_r = ndir[rsafe]
@@ -565,11 +659,14 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk", "compact",
-                                   "capacity_frac", "t_cutoff", "approx_light"))
+                                   "capacity_frac", "t_cutoff", "approx_light",
+                                   "cone_cache_res"))
 def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                  steps: int = 128, light_steps: int = 6, chunk: int = 16384,
                  compact: bool = True, capacity_frac: float = 0.25,
-                 t_cutoff: float = 1e-4, approx_light: bool = False):
+                 t_cutoff: float = 1e-4, approx_light: bool = False,
+                 cone_cache: "ConeCache | None" = None,
+                 cone_cache_res=None):
     """Fast march over world directions. dirs: [..., 3] → [..., 4].
 
     compact=True routes through the occupancy-compacted pipeline (see
@@ -585,10 +682,14 @@ def march_bricks(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
 
     atmos = ambient_colors(params, sky_lut_img)
 
+    if cone_cache is None and cone_cache_res is not None:
+        cone_cache = build_cone_cache(params, bp, light_steps,
+                                      res=cone_cache_res,
+                                      chunk=min(chunk, max(n, 1)))
     if compact:
         out = _march_compact(flat, params, bp, atmos, steps, light_steps,
                              min(chunk, max(n, 1)), capacity_frac, t_cutoff,
-                             approx_light)
+                             approx_light, cone_cache)
         return out.reshape(shape + (4,))
 
     if n <= chunk:

@@ -49,6 +49,7 @@ class BrickTable3D:
     stride: Tuple[int, int, int] = _static_field(default=(3, 3, 3))
     grid: Tuple[int, int, int] = _static_field(default=(0, 0, 0))  # brick counts
     channels: int = _static_field(default=2)
+    wrap: str = _static_field(default="repeat")  # "repeat" | "clamp"
 
 
 @jax.tree_util.register_dataclass
@@ -140,14 +141,58 @@ def build_tiny3(volume: np.ndarray) -> TinyVolume3D:
     return TinyVolume3D(row=jnp.asarray(row), dims=(d, h, w), channels=c)
 
 
-def _axis_coords(q, n):
-    """GL filtering coords for one axis: returns (wrapped cell i0 [int32],
-    fraction f)."""
+def _axis_coords(q, n, wrap: str = "repeat"):
+    """GL filtering coords for one axis: returns (cell i0 [int32], fraction).
+
+    repeat: i0 mod n (corners wrap via wrap-aware brick contents).
+    clamp: i0 clipped to [0, n-2] so both corners stay in-volume (index
+    clamping ≡ GL CLAMP_TO_EDGE; bricks must be built with `clamp` too)."""
     cx = q * n - 0.5
     i0 = jnp.floor(cx)
     f = cx - i0
-    i0 = jnp.remainder(i0.astype(jnp.int32), n)
+    i0 = i0.astype(jnp.int32)
+    if wrap == "clamp":
+        # Out-of-range fractions collapse to the edge texel: clamp f as well
+        # so q < 0 reads texel 0 exactly (f=0) and q > 1 reads texel n-1.
+        f = jnp.where(i0 < 0, 0.0, jnp.where(i0 > n - 2, 1.0, f))
+        i0 = jnp.clip(i0, 0, max(n - 2, 0))
+    else:
+        i0 = jnp.remainder(i0, n)
     return i0, f
+
+
+def build_brick3_device(volume, brick=(4, 4, 4), stride=(3, 3, 3),
+                        wrap: str = "repeat") -> "BrickTable3D":
+    """Device-side brick packing (jnp gathers — no host round trip).
+
+    Used for per-cycle dynamic tables (e.g. the cone-density cache) where a
+    host build would pay relay transfers. `wrap` controls how brick texels
+    past the volume edge are filled: "repeat" (mod) or "clamp" (edge)."""
+    d, h, w, c = volume.shape
+    bz, by, bx = brick
+    sz, sy, sx = stride
+    assert sz <= bz - 1 and sy <= by - 1 and sx <= bx - 1
+    nz, ny, nx = _cdiv(d, sz), _cdiv(h, sy), _cdiv(w, sx)
+
+    def idx(n_bricks, s, b, n):
+        i = jnp.arange(n_bricks)[:, None] * s + jnp.arange(b)[None, :]
+        return jnp.clip(i, 0, n - 1) if wrap == "clamp" else jnp.remainder(i, n)
+
+    zz = idx(nz, sz, bz, d)
+    yy = idx(ny, sy, by, h)
+    xx = idx(nx, sx, bx, w)
+    bricks = volume[
+        zz[:, None, None, :, None, None],
+        yy[None, :, None, None, :, None],
+        xx[None, None, :, None, None, :],
+    ]
+    lanes = bricks.transpose(0, 1, 2, 6, 3, 4, 5).reshape(
+        nz * ny * nx, c * bz * by * bx
+    )
+    return BrickTable3D(
+        table=lanes, dims=(d, h, w), brick=brick, stride=stride,
+        grid=(nz, ny, nx), channels=c, wrap=wrap,
+    )
 
 
 def _axis_weight(lane_idx, local0, frac, length):
@@ -166,9 +211,9 @@ def sample_brick3(bt: BrickTable3D, q):
     sz, sy, sx = bt.stride
     nz, ny, nx = bt.grid
 
-    ix0, fx = _axis_coords(q[..., 0], w)
-    iy0, fy = _axis_coords(q[..., 1], h)
-    iz0, fz = _axis_coords(q[..., 2], d)
+    ix0, fx = _axis_coords(q[..., 0], w, bt.wrap)
+    iy0, fy = _axis_coords(q[..., 1], h, bt.wrap)
+    iz0, fz = _axis_coords(q[..., 2], d, bt.wrap)
     gx, lx = ix0 // sx, ix0 % sx
     gy, ly = iy0 // sy, iy0 % sy
     gz, lz = iz0 // sz, iz0 % sz
