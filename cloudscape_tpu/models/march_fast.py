@@ -42,9 +42,9 @@ from cloudscape_tpu.ops.brick import (
     build_brick2,
     build_brick3,
     build_tiny3,
-    sample_brick2,
-    sample_brick3,
-    sample_tiny3,
+    sample_brick2_xy,
+    sample_brick3_xyz,
+    sample_tiny3_xyz,
 )
 
 Volume = Union[BrickTable3D, TinyVolume3D]
@@ -106,36 +106,46 @@ class BrickPack:
                          weather=weather)
 
 
-def _sample_volume(vol: Volume, q):
+def _sample_volume_xyz(vol: Volume, qx, qy, qz):
     if isinstance(vol, TinyVolume3D):
-        return sample_tiny3(vol, q)
-    return sample_brick3(vol, q)
+        return sample_tiny3_xyz(vol, qx, qy, qz)
+    return sample_brick3_xyz(vol, qx, qy, qz)
 
 
 def _weather_rb(bp: BrickPack, pxz, weather_pos):
     """(cloud_type, coverage) weather fetch (`clouds.glsl:169-174`)."""
-    return sample_brick2(bp.weather, pxz * 0.00006 + 0.5 + weather_pos)
+    return _weather_rb_xy(bp, pxz[..., 0], pxz[..., 1], weather_pos)
 
 
-def _density_pre(p, weather_rb, mip: float, params: MarchParams,
-                 bp: BrickPack):
+def _weather_rb_xy(bp: BrickPack, px, pz, weather_pos):
+    return sample_brick2_xy(
+        bp.weather,
+        px * 0.00006 + 0.5 + weather_pos[0],
+        pz * 0.00006 + 0.5 + weather_pos[1],
+    )
+
+
+def _density_pre_xyz(px, py, pz, weather_rb, mip: float, params: MarchParams,
+                     bp: BrickPack):
     """First half of the Schneider density (`clouds.glsl:109-125`): base
     shape + coverage remap, *before* detail erosion. Needs only the weather
-    and large-noise fetches.
+    and large-noise fetches. Coordinates are separate component planes
+    (stacked [..., 3] tensors cost lane-padded copies on TPU).
 
     Returns (pre, hf): erosion can only reduce density, and the erosion remap
     maps pre ≤ 0 to exactly 0 — so `pre > 0` is an exact occupancy predicate
     for staging the small-noise fetch.
     """
-    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+    hf = m.height_fraction(jnp.sqrt(px * px + py * py + pz * pz),
+                           SKY_B_RADIUS, SKY_T_RADIUS)
 
     offset = 20.0 * params.cloud_pos * 0.6
-    p_base = jnp.stack(
-        [p[..., 0] + offset[0], p[..., 1], p[..., 2] + offset[1]], axis=-1
-    )
+    bx = px + offset[0]
+    bz = pz + offset[1]
 
     lod_l = int(min(max(mip - 2.0, 0.0), len(bp.large) - 1))
-    n = _sample_volume(bp.large[lod_l], p_base * 0.00008)  # [..., 2] (R, FBM)
+    n = _sample_volume_xyz(bp.large[lod_l], bx * 0.00008, py * 0.00008,
+                           bz * 0.00008)  # [..., 2] (R, FBM)
 
     g = m.density_height_gradient(hf, weather_rb[..., 0])
     base_cloud = m.remap(n[..., 0], -(1.0 - n[..., 1]), 1.0, 0.0, 1.0)
@@ -146,31 +156,39 @@ def _density_pre(p, weather_rb, mip: float, params: MarchParams,
     return base_cloud * weather_coverage, hf
 
 
-def _density_finish(pre, hf, p, mip: float, params: MarchParams,
-                    bp: BrickPack):
+def _density_finish_xyz(pre, hf, px, py, pz, mip: float, params: MarchParams,
+                        bp: BrickPack):
     """Second half (`clouds.glsl:127-136`): detail erosion + final shaping."""
     offset = 20.0 * params.cloud_pos * 0.6
-    p_det = jnp.stack(
-        [
-            p[..., 0] + offset[0] - params.detailed_pos[0] * 40.0,
-            p[..., 1] - params.time * 40.0,
-            p[..., 2] + offset[1] - params.detailed_pos[1] * 40.0,
-        ],
-        axis=-1,
-    )
+    dx = (px + offset[0] - params.detailed_pos[0] * 40.0) * 0.001
+    dy = (py - params.time * 40.0) * 0.001
+    dz = (pz + offset[1] - params.detailed_pos[1] * 40.0) * 0.001
     lod_s = int(min(max(mip, 0.0), len(bp.small) - 1))
-    hfbm = _sample_volume(bp.small[lod_s], p_det * 0.001)[..., 0]
+    hfbm = _sample_volume_xyz(bp.small[lod_s], dx, dy, dz)[..., 0]
     hfbm = hfbm + (1.0 - 2.0 * hfbm) * jnp.clip(hf * 4.0, 0.0, 1.0)
     base_cloud = m.remap(pre, hfbm * 0.4 * hf, 1.0, 0.0, 1.0)
     return jnp.power(jnp.clip(base_cloud, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5)
 
 
+def _density_bricks_xyz(px, py, pz, weather_rb, mip: float,
+                        params: MarchParams, bp: BrickPack):
+    """Full Schneider density (`clouds.glsl:109-137`) on brick tables,
+    component-plane coordinates. Returns (density, height_fraction)."""
+    pre, hf = _density_pre_xyz(px, py, pz, weather_rb, mip, params, bp)
+    return _density_finish_xyz(pre, hf, px, py, pz, mip, params, bp), hf
+
+
+def _density_pre(p, weather_rb, mip: float, params: MarchParams,
+                 bp: BrickPack):
+    return _density_pre_xyz(p[..., 0], p[..., 1], p[..., 2], weather_rb, mip,
+                            params, bp)
+
+
 def _density_bricks(p, weather_rb, mip: float, params: MarchParams,
                     bp: BrickPack):
-    """Full Schneider density (`clouds.glsl:109-137`) on brick tables.
-    Returns (density, height_fraction)."""
-    pre, hf = _density_pre(p, weather_rb, mip, params, bp)
-    return _density_finish(pre, hf, p, mip, params, bp), hf
+    """[..., 3] wrapper over `_density_bricks_xyz`."""
+    return _density_bricks_xyz(p[..., 0], p[..., 1], p[..., 2], weather_rb,
+                               mip, params, bp)
 
 
 def _ray_setup(dirs, params: MarchParams, steps: int):
@@ -209,37 +227,51 @@ def _light_offsets(ldir, light_steps: int):
     return offsets, ldir * (18.0 * lss), lss
 
 
-def _cone_density(p, params: MarchParams, bp: BrickPack, light_offsets,
-                  distant_offset, light_steps: int,
-                  approx_weather: bool = False):
-    """Secondary (sun) march density sum `cd` for sample positions p
-    (`clouds.glsl:184-199`). p: [..., 3] → [...].
+def _cone_density_xyz(px, py, pz, params: MarchParams, bp: BrickPack,
+                      light_offsets, distant_offset, light_steps: int,
+                      approx_weather: bool = False):
+    """Secondary (sun) march density sum `cd` (`clouds.glsl:184-199`) on
+    component-plane coordinates.
 
     approx_weather reuses one weather fetch (at the sample position) for all
     cone samples: the cone spans ≲0.1 weather texel horizontally, so the
     bilinear deltas are sub-texel — saves 6 of the 17 gather rows per active
     sample (PSNR-gated in tests)."""
-    xz = jnp.array([0, 2])
-    cd = jnp.zeros(p.shape[:-1], jnp.float32)
+    cd = jnp.zeros(px.shape, jnp.float32)
     shared_weather = (
-        _weather_rb(bp, p[..., xz], params.weather_pos) if approx_weather
+        _weather_rb_xy(bp, px, pz, params.weather_pos) if approx_weather
         else None
     )
     for j in range(light_steps):
-        lp = p + light_offsets[j]
+        lx = px + light_offsets[j, 0]
+        ly = py + light_offsets[j, 1]
+        lz = pz + light_offsets[j, 2]
         lweather = (
             shared_weather if approx_weather
-            else _weather_rb(bp, lp[..., xz], params.weather_pos)
+            else _weather_rb_xy(bp, lx, lz, params.weather_pos)
         )
-        lt, _ = _density_bricks(lp, lweather, float(j), params, bp)
+        lt, _ = _density_bricks_xyz(lx, ly, lz, lweather, float(j), params, bp)
         cd = cd + lt
 
-    lp = p + distant_offset
-    lhf = m.height_fraction(jnp.linalg.norm(lp, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+    lx = px + distant_offset[0]
+    ly = py + distant_offset[1]
+    lz = pz + distant_offset[2]
+    lhf = m.height_fraction(jnp.sqrt(lx * lx + ly * ly + lz * lz),
+                            SKY_B_RADIUS, SKY_T_RADIUS)
     # Quirk preserved: no + weather_pos on the distant sample (`clouds.glsl:197`).
-    lweather = sample_brick2(bp.weather, lp[..., xz] * 0.00006 + 0.5)
-    ldens, _ = _density_bricks(lp, lweather, 5.0, params, bp)
+    lweather = sample_brick2_xy(bp.weather, lx * 0.00006 + 0.5,
+                                lz * 0.00006 + 0.5)
+    ldens, _ = _density_bricks_xyz(lx, ly, lz, lweather, 5.0, params, bp)
     return cd + jnp.power(ldens, (1.0 - lhf) * 0.8 + 0.5)
+
+
+def _cone_density(p, params: MarchParams, bp: BrickPack, light_offsets,
+                  distant_offset, light_steps: int,
+                  approx_weather: bool = False):
+    """[..., 3] wrapper over `_cone_density_xyz`."""
+    return _cone_density_xyz(p[..., 0], p[..., 1], p[..., 2], params, bp,
+                             light_offsets, distant_offset, light_steps,
+                             approx_weather)
 
 
 def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
@@ -249,18 +281,22 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     above, ndir, ss, p0, phase, ldir = _ray_setup(dirs, params, steps)
     light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
 
-    # Phase A — all samples in parallel: p[n, steps, 3].
+    # Phase A — all samples in parallel, component planes [n, steps].
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
-    p = p0[:, None, :] + ndir[:, None, :] * (ss[:, None] * i_step[None, :])[..., None]
+    tt = ss[:, None] * i_step[None, :]
+    px = p0[:, 0, None] + ndir[:, 0, None] * tt
+    py = p0[:, 1, None] + ndir[:, 1, None] * tt
+    pz = p0[:, 2, None] + ndir[:, 2, None] * tt
 
-    xz = jnp.array([0, 2])
-    weather = _weather_rb(bp, p[..., xz], params.weather_pos)
-    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS, SKY_T_RADIUS)
+    weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+    hf = m.height_fraction(jnp.sqrt(px * px + py * py + pz * pz),
+                           SKY_B_RADIUS, SKY_T_RADIUS)
 
-    t, _ = _density_bricks(p, weather, 0.0, params, bp)
+    t, _ = _density_bricks_xyz(px, py, pz, weather, 0.0, params, bp)
     dt = jnp.exp(-params.density * t * ss[:, None])
 
-    cd = _cone_density(p, params, bp, light_offsets, distant_offset, light_steps)
+    cd = _cone_density_xyz(px, py, pz, params, bp, light_offsets,
+                           distant_offset, light_steps)
 
     beers = jnp.exp(-params.density * cd * lss * 3.0)
     powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
@@ -333,12 +369,16 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
 
     total = n * steps
 
-    def positions_for(idx):
-        """Recompute sample positions from flat (ray·step) indices — cheaper
-        than gathering stored [.., 3] vectors (narrow rows pad 42×)."""
+    def positions_for_xyz(idx):
+        """Recompute sample positions (component planes) from flat
+        (ray·step) indices — cheaper than gathering stored [.., 3] vectors
+        (narrow rows pad 42×)."""
         ray = jnp.minimum(idx // steps, n - 1)
         stp = (idx % steps).astype(jnp.float32) + 1.0
-        return p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+        tt = ss[ray] * stp
+        return (p0[ray, 0] + ndir[ray, 0] * tt,
+                p0[ray, 1] + ndir[ray, 1] * tt,
+                p0[ray, 2] + ndir[ray, 2] * tt)
 
     # ---- Phase 1 (dense, chunked): primary density + height fraction.
     # (A staged variant that compacted the erosion fetch behind a `pre > 0`
@@ -347,9 +387,12 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
     # docs/PERF_NOTES.md.)
     def dense_chunk(args):
         p0c, ndirc, ssc = args
-        p = p0c[:, None, :] + ndirc[:, None, :] * (ssc[:, None] * i_step[None, :])[..., None]
-        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
-        t_blk, hf_blk = _density_bricks(p, weather, 0.0, params, bp)
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        t_blk, hf_blk = _density_bricks_xyz(px, py, pz, weather, 0.0, params, bp)
         return t_blk, hf_blk
 
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -372,19 +415,22 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
     idx = _compact_indices(active.reshape(-1), capacity, total)
-    p_active = positions_for(idx)
+    ax, ay, az = positions_for_xyz(idx)
 
     if cone_cache is not None:
-        q = _cone_cache_coords(p_active, cone_cache.extent)
-        cd_active = sample_brick3(cone_cache.table, q)[..., 0]
+        qx, qz, qh = _cone_cache_coords_xyz(ax, ay, az, cone_cache.extent)
+        cd_active = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
     else:
-        def light_chunk(p_blk):
-            return _cone_density(p_blk, params, bp, light_offsets,
-                                 distant_offset, light_steps,
-                                 approx_weather=approx_light)
+        def light_chunk(blk):
+            bx, by_, bz = blk
+            return _cone_density_xyz(bx, by_, bz, params, bp, light_offsets,
+                                     distant_offset, light_steps,
+                                     approx_weather=approx_light)
 
         cd_active = jax.lax.map(
-            light_chunk, p_active.reshape(-1, chunk, 3)
+            light_chunk,
+            (ax.reshape(-1, chunk), ay.reshape(-1, chunk),
+             az.reshape(-1, chunk)),
         ).reshape(-1)
 
     cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
@@ -428,14 +474,14 @@ class ConeCache:
                                       metadata=dict(static=True))
 
 
-def _cone_cache_coords(p, extent: float):
-    """World position → cache uvw (x̂, ẑ, hf)."""
+def _cone_cache_coords_xyz(px, py, pz, extent: float):
+    """World position components → cache uvw components (x̂, ẑ, hf)."""
     def warp(v):
         return 0.5 + 0.5 * jnp.sign(v) * jnp.sqrt(jnp.abs(v) / extent)
 
-    hf = m.height_fraction(jnp.linalg.norm(p, axis=-1), SKY_B_RADIUS,
-                           SKY_T_RADIUS)
-    return jnp.stack([warp(p[..., 0]), warp(p[..., 2]), hf], axis=-1)
+    hf = m.height_fraction(jnp.sqrt(px * px + py * py + pz * pz),
+                           SKY_B_RADIUS, SKY_T_RADIUS)
+    return warp(px), warp(pz), hf
 
 
 def build_cone_cache(params: MarchParams, bp: BrickPack,
@@ -499,16 +545,22 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     xz = jnp.array([0, 2])
     total = n * steps
 
-    def positions_for(idx):
+    def positions_for_xyz(idx):
         ray = jnp.minimum(idx // steps, n - 1)
         stp = (idx % steps).astype(jnp.float32) + 1.0
-        return p0[ray] + ndir[ray] * (ss[ray] * stp)[..., None]
+        tt = ss[ray] * stp
+        return (p0[ray, 0] + ndir[ray, 0] * tt,
+                p0[ray, 1] + ndir[ray, 1] * tt,
+                p0[ray, 2] + ndir[ray, 2] * tt)
 
     def dense_chunk(args):
         p0c, ndirc, ssc = args
-        p = p0c[:, None, :] + ndirc[:, None, :] * (ssc[:, None] * i_step[None, :])[..., None]
-        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
-        return _density_bricks(p, weather, 0.0, params, bp)
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        return _density_bricks_xyz(px, py, pz, weather, 0.0, params, bp)
 
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     blocks = (
@@ -529,12 +581,14 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
     idx = _compact_indices(active.reshape(-1), capacity, total)
-    p_active = positions_for(idx)
+    ax, ay, az = positions_for_xyz(idx)
 
     cd_active = jax.lax.map(
-        lambda pb: _cone_density(pb, params, bp, light_offsets, distant_offset,
-                                 light_steps, approx_weather=approx_light),
-        p_active.reshape(-1, chunk, 3),
+        lambda blk: _cone_density_xyz(blk[0], blk[1], blk[2], params, bp,
+                                      light_offsets, distant_offset,
+                                      light_steps,
+                                      approx_weather=approx_light),
+        (ax.reshape(-1, chunk), ay.reshape(-1, chunk), az.reshape(-1, chunk)),
     ).reshape(-1)
     cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
         cd_active, mode="drop"

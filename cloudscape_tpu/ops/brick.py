@@ -206,14 +206,24 @@ def _axis_weight(lane_idx, local0, frac, length):
 
 def sample_brick3(bt: BrickTable3D, q):
     """Repeat-wrap trilinear fetch. q: [..., 3] (x, y, z) uv → [..., C]."""
+    return sample_brick3_xyz(bt, q[..., 0], q[..., 1], q[..., 2])
+
+
+def sample_brick3_xyz(bt: BrickTable3D, qx, qy, qz):
+    """Component-plane variant of `sample_brick3`.
+
+    The hot march paths carry coordinates as separate (x, y, z) planes:
+    [..., 3]-stacked tensors force lane-padded layouts and explicit copies on
+    the (8, 128) vreg tiling (~0.45 s of `copy` ops per frame in device
+    traces), whereas same-shape planes fuse cleanly."""
     d, h, w = bt.dims
     bz, by, bx = bt.brick
     sz, sy, sx = bt.stride
     nz, ny, nx = bt.grid
 
-    ix0, fx = _axis_coords(q[..., 0], w, bt.wrap)
-    iy0, fy = _axis_coords(q[..., 1], h, bt.wrap)
-    iz0, fz = _axis_coords(q[..., 2], d, bt.wrap)
+    ix0, fx = _axis_coords(qx, w, bt.wrap)
+    iy0, fy = _axis_coords(qy, h, bt.wrap)
+    iz0, fz = _axis_coords(qz, d, bt.wrap)
     gx, lx = ix0 // sx, ix0 % sx
     gy, ly = iy0 // sy, iy0 % sy
     gz, lz = iz0 // sz, iz0 % sz
@@ -237,13 +247,18 @@ def sample_brick3(bt: BrickTable3D, q):
 
 def sample_brick2(bt: BrickTable2D, uv):
     """Repeat-wrap bilinear fetch. uv: [..., 2] → [..., C]."""
+    return sample_brick2_xy(bt, uv[..., 0], uv[..., 1])
+
+
+def sample_brick2_xy(bt: BrickTable2D, qu, qv):
+    """Component-plane variant of `sample_brick2` (see sample_brick3_xyz)."""
     h, w = bt.dims
     by, bx = bt.brick
     sy, sx = bt.stride
     ny, nx = bt.grid
 
-    ix0, fx = _axis_coords(uv[..., 0], w)
-    iy0, fy = _axis_coords(uv[..., 1], h)
+    ix0, fx = _axis_coords(qu, w)
+    iy0, fy = _axis_coords(qv, h)
     gx, lx = ix0 // sx, ix0 % sx
     gy, ly = iy0 // sy, iy0 % sy
     fb = gy * nx + gx
@@ -260,10 +275,15 @@ def sample_brick2(bt: BrickTable2D, uv):
 
 def sample_tiny3(tv: TinyVolume3D, q):
     """Gather-free trilinear fetch from a ≤1-row volume with modular wrap."""
+    return sample_tiny3_xyz(tv, q[..., 0], q[..., 1], q[..., 2])
+
+
+def sample_tiny3_xyz(tv: TinyVolume3D, qx, qy, qz):
+    """Component-plane variant of `sample_tiny3`."""
     d, h, w = tv.dims
-    ix0, fx = _axis_coords(q[..., 0], w)
-    iy0, fy = _axis_coords(q[..., 1], h)
-    iz0, fz = _axis_coords(q[..., 2], d)
+    ix0, fx = _axis_coords(qx, w)
+    iy0, fy = _axis_coords(qy, h)
+    iz0, fz = _axis_coords(qz, d)
 
     L = d * h * w
     lanes = np.arange(L)
