@@ -62,7 +62,11 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
         from cloudscape_tpu.models.march_fast import march_bricks
 
         # Generous compaction capacity: engine tiles are small, so headroom
-        # costs little and guarantees no overflow (exactness) at any coverage.
+        # costs little. 0.5 covers every measured scene with ~9× margin, but
+        # is NOT a hard guarantee: an optically thin overcast scene (low
+        # density, coverage≈1) can keep >50% of (ray, step) samples active,
+        # at which point overflowed samples lose their sun term (gated in
+        # tests/test_engine.py::test_tile_capacity_thin_overcast).
         tile = march_bricks(dirs, params, noise, sky_img, steps=steps,
                             light_steps=light_steps,
                             chunk=min(region * region, 16384),
@@ -225,25 +229,31 @@ class CloudSkyEngine:
         self.can_run = self._validate_kernels()
 
     def _validate_kernels(self) -> bool:
-        """Abstract-eval the tile-update kernel with this engine's shapes;
-        a trace/shape error disables the engine rather than raising from the
-        render loop."""
+        """Abstract-eval the tile-update kernel with this engine's shapes —
+        the mesh-sharded variant when a mesh is configured, since that is the
+        kernel the render loop will actually dispatch; a trace/shape error
+        disables the engine rather than raising from the loop."""
         try:
             noise_arg = self._bricks if self.kernel == "fast" else self.noise
+            common = dict(
+                texture_size=self.perf.texture_size,
+                region=self.perf.update_region_size,
+                steps=self.perf.march_steps,
+                light_steps=self.perf.light_steps,
+                kernel=self.kernel,
+            )
+            if self.mesh is not None:
+                fn = partial(_update_tile_mesh, mesh=self.mesh,
+                             axis_name=self.mesh.axis_names[0], **common)
+            else:
+                fn = partial(_update_tile, **common)
             jax.eval_shape(
-                partial(
-                    _update_tile,
-                    texture_size=self.perf.texture_size,
-                    region=self.perf.update_region_size,
-                    steps=self.perf.march_steps,
-                    light_steps=self.perf.light_steps,
-                    kernel=self.kernel,
-                ),
+                fn,
                 self.cloud_ring, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 self._march_params, noise_arg, self.sky_ring[0],
             )
             return True
-        except Exception as e:  # pragma: no cover - defensive path
+        except Exception as e:
             print(f"cloudscape_tpu: kernel validation failed, engine disabled: {e}")
             return False
 
@@ -438,9 +448,11 @@ class CloudSkyEngine:
             self, "_blend_amount", self.ring.blend_amount(self.perf.frames_to_update)
         )
 
-    def render_view(self, eyedirs) -> jax.Array:
+    def render_view(self, eyedirs, deband: bool = False) -> jax.Array:
         """Composite the current sky for arbitrary view directions
-        (`clouds.gdshader:104-116` equivalent). eyedirs: [..., 3] world."""
+        (`clouds.gdshader:104-116` equivalent). eyedirs: [..., 3] world.
+        deband adds the reference's zero-mean display dither
+        (`clouds.gdshader:1` `render_mode use_debanding`)."""
         b0, b1 = self.ring.sky_back_textures
         return composite(
             jnp.asarray(eyedirs, jnp.float32),
@@ -452,6 +464,7 @@ class CloudSkyEngine:
             jnp.float32(self.blend_amount),
             jnp.asarray(self.frame_data.light_direction, jnp.float32),
             jnp.float32(self.config.sun_disk_scale),
+            deband=deband,
         )
 
     def render_frame(self, eyedirs, now: Optional[float] = None,
@@ -505,6 +518,7 @@ class CloudSkyEngine:
             "cloud_ring": np.asarray(self.cloud_ring),
             "sky_ring": np.asarray(self.sky_ring),
             "sky_lut_needs_full_update": self._sky_lut_needs_full_update,
+            "needs_full_sky_init": self.needs_full_sky_init,
             "blend_amount": self.blend_amount,
         }
 
@@ -559,5 +573,13 @@ class CloudSkyEngine:
         self.sky_ring = jnp.asarray(state["sky_ring"])
         self._sky_lut_needs_full_update = state["sky_lut_needs_full_update"]
         self._blend_amount = state.get("blend_amount", 0.0)
-        self.needs_full_sky_init = False
+        # A checkpoint taken before the first tick must restore to an engine
+        # that still performs the warm start — otherwise the sky fades in from
+        # black instead of being complete on the first visible frame. Old
+        # checkpoints (no flag recorded): infer from whether the cloud ring
+        # holds any rendered content.
+        self.needs_full_sky_init = state.get(
+            "needs_full_sky_init",
+            not bool(np.any(np.asarray(state["cloud_ring"]))),
+        )
         self._march_params = self.frame_data.to_march_params()

@@ -82,14 +82,36 @@ def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
     return col + sun_lum
 
 
-@partial(jax.jit, static_argnames=())
+def deband_dither(shape):
+    """Zero-mean screen-space dither for display parity with the reference's
+    `render_mode use_debanding` (`clouds.gdshader:1-2`): interleaved gradient
+    noise over pixel coordinates, scaled to ±0.5 of an 8-bit display LSB.
+    shape: the image shape (..., H, W) the dither is generated for."""
+    if len(shape) >= 2:
+        y = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 2)
+        x = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
+    else:
+        x = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        y = jnp.zeros(shape, jnp.float32)
+    # Jimenez interleaved gradient noise — uniform in [0, 1), zero-mean after
+    # the -0.5 shift; decorrelated between adjacent pixels.
+    ign = jnp.modf(52.9829189 * jnp.modf(0.06711056 * x + 0.00583715 * y)[0])[0]
+    return (ign - 0.5) / 255.0
+
+
+@partial(jax.jit, static_argnames=("deband",))
 def composite(eyedir, cloud_from, cloud_to, sky_from, sky_to, tlut,
-              blend_amount, sun_dir, sun_disk_scale):
+              blend_amount, sun_dir, sun_disk_scale, *, deband: bool = False):
     """Full sky() entry point (`clouds.gdshader:104-116`).
 
     eyedir: [..., 3] world view directions. cloud_from/to: the two blending
     hemisphere maps [N, N, 4]; sky_from/to: the two sky-LUT backbuffers;
     tlut: transmittance LUT. Returns [..., 3] linear HDR color.
+
+    deband=True adds the reference's debanding (`clouds.gdshader:1`
+    `render_mode use_debanding`): a zero-mean per-pixel dither of ±0.5
+    display LSB that breaks up banding in smooth sky gradients, using the
+    eyedir grid's trailing two axes as the pixel lattice.
     """
     eyedir = jnp.asarray(eyedir, jnp.float32)
     norm = eyedir.at[..., 1].set(jnp.maximum(0.0, eyedir[..., 1]))
@@ -114,4 +136,7 @@ def composite(eyedir, cloud_from, cloud_to, sky_from, sky_to, tlut,
     fade = m.smoothstep(0.6, 1.0, 1.0 - eyedir[..., 1])[..., None]
     c = jnp.clip(color, 0.0, 100.0)
     b = jnp.clip(background, 0.0, 100.0)
-    return c + (b - c) * fade
+    out = c + (b - c) * fade
+    if deband:
+        out = jnp.maximum(out + deband_dither(eyedir.shape[:-1])[..., None], 0.0)
+    return out

@@ -1,10 +1,12 @@
 """Schneider-style cloud density field (`cloud_sky/clouds.glsl:107-137`).
 
 The density model, shared verbatim by the jitted reference march
-(`models/march.py`) and used as the spec for the Pallas kernel
-(`models/march_pallas.py`): height-gradient shaping by cloud type, coverage
+(`models/march.py`) and re-derived on brick tables by the production path
+(`models/march_fast.py`): height-gradient shaping by cloud type, coverage
 remap from the weather map, and high-frequency Worley erosion — "Heavily based
-on method from Schneider" per the reference source.
+on method from Schneider" per the reference source. (SURVEY.md prescribed a
+Pallas march kernel; that was dropped for a measured reason — per-row DMA
+gathers are ~200× slower than XLA's gather path, docs/PERF_NOTES.md.)
 
 Noise inputs arrive as a `NoisePack` pytree of mip pyramids; all `textureLod`
 mips in the reference are static per call site, so `mip` here is a static

@@ -348,111 +348,13 @@ def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
                    steps: int, light_steps: int, chunk: int,
                    capacity_frac: float, t_cutoff: float,
                    approx_light: bool = False, cone_cache=None):
-    """Occupancy-compacted march over all rays at once.
-
-    The secondary light march (`clouds.glsl:184-199`) only contributes where
-    the primary density t > 0 — the reference's own `if (t > 0)` guard — and
-    where the accumulated transmittance hasn't saturated (contributions are
-    multiplied by the prefix product, so T_prefix ≤ t_cutoff ≈ invisible).
-    Phase 1 computes primary density densely; phase 2 gathers the active
-    samples into a compact list (static capacity = capacity_frac · n · steps,
-    overflow drops the *sun* term of excess samples only) and runs the
-    expensive cone sampling on ~10-20% of the work; phase 3 scatters back and
-    runs the prefix-product accumulation.
-    """
-    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
-    n = flat.shape[0]
+    """Occupancy-compacted march over all rays at once: per-ray geometry setup
+    plus the shared `_march_core` (one implementation serves this path and the
+    hierarchical window-adjusted path)."""
     above, ndir, ss, p0, phase, ldir = _ray_setup(flat, params, steps)
-    light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
-    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
-    xz = jnp.array([0, 2])
-
-    total = n * steps
-
-    def positions_for_xyz(idx):
-        """Recompute sample positions (component planes) from flat
-        (ray·step) indices — cheaper than gathering stored [.., 3] vectors
-        (narrow rows pad 42×)."""
-        ray = jnp.minimum(idx // steps, n - 1)
-        stp = (idx % steps).astype(jnp.float32) + 1.0
-        tt = ss[ray] * stp
-        return (p0[ray, 0] + ndir[ray, 0] * tt,
-                p0[ray, 1] + ndir[ray, 1] * tt,
-                p0[ray, 2] + ndir[ray, 2] * tt)
-
-    # ---- Phase 1 (dense, chunked): primary density + height fraction.
-    # (A staged variant that compacted the erosion fetch behind a `pre > 0`
-    # test measured *slower* on chip — the per-compacted-sample overhead of
-    # narrow position gathers exceeds the saved dense rows; see
-    # docs/PERF_NOTES.md.)
-    def dense_chunk(args):
-        p0c, ndirc, ssc = args
-        tt = ssc[:, None] * i_step[None, :]
-        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
-        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
-        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
-        weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
-        t_blk, hf_blk = _density_bricks_xyz(px, py, pz, weather, 0.0, params, bp)
-        return t_blk, hf_blk
-
-    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    blocks = (
-        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
-        _pad_blocks(ndir, chunk, up),
-        _pad_blocks(ss, chunk, jnp.float32(1.0)),
-    )
-    t, hf = jax.lax.map(dense_chunk, blocks)
-    t = t.reshape(-1, steps)[:n]
-    hf = hf.reshape(-1, steps)[:n]
-
-    dt = jnp.exp(-params.density * t * ss[:, None])
-    t_prefix = jnp.concatenate(
-        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
-    )
-
-    # ---- Phase 2 (compacted): cone density where it can matter.
-    active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
-    capacity = max(int(total * capacity_frac), chunk)
-    capacity += (-capacity) % chunk
-    idx = _compact_indices(active.reshape(-1), capacity, total)
-    ax, ay, az = positions_for_xyz(idx)
-
-    if cone_cache is not None:
-        qx, qz, qh = _cone_cache_coords_xyz(ax, ay, az, cone_cache.extent)
-        cd_active = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
-    else:
-        def light_chunk(blk):
-            bx, by_, bz = blk
-            return _cone_density_xyz(bx, by_, bz, params, bp, light_offsets,
-                                     distant_offset, light_steps,
-                                     approx_weather=approx_light)
-
-        cd_active = jax.lax.map(
-            light_chunk,
-            (ax.reshape(-1, chunk), ay.reshape(-1, chunk),
-             az.reshape(-1, chunk)),
-        ).reshape(-1)
-
-    cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
-        cd_active, mode="drop"
-    )[:total].reshape(n, steps)
-
-    # ---- Phase 3 (dense elementwise): radiance + prefix-product combine.
-    beers = jnp.exp(-params.density * cd * lss * 3.0)
-    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
-    beers_total = jnp.where(active, 2.0 * beers * powder, 0.0)
-
-    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
-        m.smoothstep(0.0, 1.0, hf)[..., None]
-    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
-        * t[..., None]
-    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
-        jnp.maximum(1e-7, t)[..., None]
-    L = jnp.sum(contrib, axis=1)
-    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
-
-    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
-    return jnp.where(above[..., None], out, 0.0)
+    return _march_core(above, ndir, ss, p0, phase, ldir, params, bp, atmos,
+                       steps, light_steps, chunk, capacity_frac, t_cutoff,
+                       approx_light, cone_cache)
 
 
 @jax.tree_util.register_dataclass
@@ -533,19 +435,31 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
 def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
                 bp: BrickPack, atmos, steps: int, light_steps: int,
                 chunk: int, capacity_frac: float, t_cutoff: float,
-                approx_light: bool = False):
+                approx_light: bool = False, cone_cache=None):
     """Compacted march over prepared rays (arbitrary per-ray start/step).
 
-    The body of `_march_compact`, factored so the hierarchical path can feed
-    it window-adjusted ray geometry. Returns [n, 4]."""
+    The secondary light march (`clouds.glsl:184-199`) only contributes where
+    the primary density t > 0 — the reference's own `if (t > 0)` guard — and
+    where the accumulated transmittance hasn't saturated (contributions are
+    multiplied by the prefix product, so T_prefix ≤ t_cutoff ≈ invisible).
+    Phase 1 computes primary density densely (a staged variant compacting the
+    erosion fetch behind `pre > 0` measured *slower* on chip, see
+    docs/PERF_NOTES.md); phase 2 gathers the active samples into a compact
+    list (static capacity = capacity_frac · n · steps, overflow drops the
+    *sun* term of excess samples only) and runs the expensive cone sampling
+    on ~10-20% of the work — or, with a `cone_cache`, one brick-row lookup
+    per active sample; phase 3 scatters back and runs the prefix-product
+    accumulation. Returns [n, 4]."""
     atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
     n = ndir.shape[0]
     light_offsets, distant_offset, lss = _light_offsets(ldir, light_steps)
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
-    xz = jnp.array([0, 2])
     total = n * steps
 
     def positions_for_xyz(idx):
+        """Recompute sample positions (component planes) from flat
+        (ray·step) indices — cheaper than gathering stored [.., 3] vectors
+        (narrow rows pad 42×)."""
         ray = jnp.minimum(idx // steps, n - 1)
         stp = (idx % steps).astype(jnp.float32) + 1.0
         tt = ss[ray] * stp
@@ -553,6 +467,7 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
                 p0[ray, 1] + ndir[ray, 1] * tt,
                 p0[ray, 2] + ndir[ray, 2] * tt)
 
+    # ---- Phase 1 (dense, chunked): primary density + height fraction.
     def dense_chunk(args):
         p0c, ndirc, ssc = args
         tt = ssc[:, None] * i_step[None, :]
@@ -577,19 +492,25 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
         [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
     )
 
+    # ---- Phase 2 (compacted): cone density where it can matter.
     active = (t > 0.0) & (t_prefix > t_cutoff) & above[:, None]
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
     idx = _compact_indices(active.reshape(-1), capacity, total)
     ax, ay, az = positions_for_xyz(idx)
 
-    cd_active = jax.lax.map(
-        lambda blk: _cone_density_xyz(blk[0], blk[1], blk[2], params, bp,
-                                      light_offsets, distant_offset,
-                                      light_steps,
-                                      approx_weather=approx_light),
-        (ax.reshape(-1, chunk), ay.reshape(-1, chunk), az.reshape(-1, chunk)),
-    ).reshape(-1)
+    if cone_cache is not None:
+        qx, qz, qh = _cone_cache_coords_xyz(ax, ay, az, cone_cache.extent)
+        cd_active = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
+    else:
+        cd_active = jax.lax.map(
+            lambda blk: _cone_density_xyz(blk[0], blk[1], blk[2], params, bp,
+                                          light_offsets, distant_offset,
+                                          light_steps,
+                                          approx_weather=approx_light),
+            (ax.reshape(-1, chunk), ay.reshape(-1, chunk),
+             az.reshape(-1, chunk)),
+        ).reshape(-1)
     cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
         cd_active, mode="drop"
     )[:total].reshape(n, steps)
@@ -618,9 +539,10 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps: int = 128, light_steps: int = 6,
                        coarse_steps: int = 16, chunk: int = 16384,
                        capacity_frac: float = 0.25, t_cutoff: float = 1e-4,
-                       ray_capacity_frac: float = 0.75,
+                       ray_capacity_frac: float = 1.0,
                        occupancy_margin: float = 0.3,
-                       approx_light: bool = False):
+                       approx_light: bool = False,
+                       cone_cache: "ConeCache | None" = None):
     """Hierarchical raymarch (BASELINE config 5, the reference's TODO #1).
 
     1. Coarse pass: `coarse_steps` pre-erosion density probes per ray at
@@ -636,6 +558,13 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
 
     Approximate by construction (sample placement differs from the fixed-step
     reference); gated ≥ 40 dB against `march_bricks` in tests.
+
+    ray_capacity_frac sizes the compacted ray list as a fraction of all rays.
+    The default 1.0 can never overflow. Lowering it buys speed on sparse
+    scenes but has a CLIFF: if more than that fraction of rays have occupied
+    windows (e.g. full overcast — the hemi-oct map is all above-horizon
+    texels), the overflowed rays are dropped from the fine march and render
+    BLACK. Only lower it when the scene's occupancy is known and bounded.
     """
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = dirs.shape[:-1]
@@ -704,7 +633,7 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
 
     out_r = _march_core(above_r, ndir_r, ss_r, p0_r, phase_r, ldir, params,
                         bp, atmos, steps, light_steps, chunk, capacity_frac,
-                        t_cutoff, approx_light)
+                        t_cutoff, approx_light, cone_cache)
 
     out = jnp.zeros((n + 1, 4), jnp.float32).at[ridx].set(
         out_r, mode="drop"

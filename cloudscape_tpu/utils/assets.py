@@ -49,6 +49,24 @@ def _load_bmp_py(path: str) -> np.ndarray:
     compression = struct.unpack_from("<I", data, 30)[0]
     if compression not in (0, 3) or bpp not in (24, 32):
         raise ValueError(f"{path}: unsupported BMP (bpp={bpp}, compression={compression})")
+    if compression == 3:
+        # BI_BITFIELDS: the fast path below assumes BGR(A) byte order, so only
+        # accept masks that spell exactly that layout (masks follow the info
+        # header, same offsets for V4/V5 headers).
+        r_m, g_m, b_m = struct.unpack_from("<III", data, 54)
+        # Alpha mask exists only for V3+ headers; for the classic 40-byte
+        # header, offset 66 is already past the three-mask section.
+        a_m = (
+            struct.unpack_from("<I", data, 66)[0]
+            if header_size >= 56 and len(data) >= 70 else 0
+        )
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF) or (
+            bpp == 32 and a_m not in (0xFF000000, 0)
+        ):
+            raise ValueError(
+                f"{path}: BI_BITFIELDS masks {(r_m, g_m, b_m, a_m)} are not "
+                "the assumed BGR(A) layout"
+            )
     bottom_up = height > 0
     height = abs(height)
     channels = bpp // 8

@@ -53,6 +53,24 @@ static int read_file(const char* path, std::vector<uint8_t>& out) {
   return got == (size_t)n ? 0 : -1;
 }
 
+// BI_BITFIELDS (compression=3): the decoders assume BGR(A) channel order, so
+// accept only channel masks that spell exactly that layout (the masks live in
+// the 3-4 DWORDs following the 40-byte info header / at the V4 header's fixed
+// offsets — same place either way). Returns 0 iff the assumption holds.
+static int bmp_bitfields_are_bgra(const std::vector<uint8_t>& d, uint16_t bpp) {
+  if (d.size() < 66) return -1;
+  uint32_t header_size = rd_u32(&d[14]);
+  uint32_t rm = rd_u32(&d[54]), gm = rd_u32(&d[58]), bm = rd_u32(&d[62]);
+  if (rm != 0x00FF0000u || gm != 0x0000FF00u || bm != 0x000000FFu) return -1;
+  // An alpha mask exists only for V3+ headers (>= 56 bytes); for the classic
+  // 40-byte header, offset 66 is already past the three-mask section.
+  if (bpp == 32 && header_size >= 56 && d.size() >= 70) {
+    uint32_t am = rd_u32(&d[66]);
+    if (am != 0xFF000000u && am != 0u) return -1;
+  }
+  return 0;
+}
+
 int assetio_bmp_info(const char* path, int32_t* width, int32_t* height,
                      int32_t* channels) {
   std::vector<uint8_t> d;
@@ -66,6 +84,7 @@ int assetio_bmp_info(const char* path, int32_t* width, int32_t* height,
   uint32_t compression = rd_u32(&d[30]);
   if ((compression != 0 && compression != 3) || (bpp != 24 && bpp != 32))
     return -4;
+  if (compression == 3 && bmp_bitfields_are_bgra(d, bpp) != 0) return -5;
   *width = w;
   *height = h < 0 ? -h : h;
   *channels = bpp / 8;
@@ -74,11 +93,17 @@ int assetio_bmp_info(const char* path, int32_t* width, int32_t* height,
 
 int assetio_bmp_decode(const char* path, float* out, int64_t out_len) {
   std::vector<uint8_t> d;
-  if (read_file(path, d) != 0) return -1;
+  // Full header bounds check: this C ABI entry point must be safe standalone
+  // (not only after a prior assetio_bmp_info call on the same path).
+  if (read_file(path, d) != 0 || d.size() < 54) return -1;
+  uint32_t compression = rd_u32(&d[30]);
   uint32_t pixel_offset = rd_u32(&d[10]);
   int32_t w = rd_i32(&d[18]);
   int32_t h_raw = rd_i32(&d[22]);
   uint16_t bpp = rd_u16(&d[28]);
+  if ((compression != 0 && compression != 3) || (bpp != 24 && bpp != 32))
+    return -4;
+  if (compression == 3 && bmp_bitfields_are_bgra(d, bpp) != 0) return -5;
   int bottom_up = h_raw > 0;
   int32_t h = h_raw > 0 ? h_raw : -h_raw;
   int ch = bpp / 8;

@@ -77,3 +77,69 @@ def test_bmp_shapes_match_reference_assets():
     n = load_bmp("/root/reference/cloud_sky/worlnoise.bmp")
     assert w.shape == (512, 512, 3)
     assert n.shape == (32, 1024, 3)
+
+
+def _synth_bitfields_bmp(path, masks, bpp=32, header_size=108, w=2, h=2):
+    """Minimal BI_BITFIELDS BMP: V4 header (masks at 54/58/62/66) or classic
+    40-byte header (3 masks appended after the header)."""
+    import struct
+
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    if header_size == 40:
+        pixel_offset = 14 + 40 + 12  # header + 3 appended masks
+        mask_bytes = struct.pack("<III", *masks[:3])
+    else:
+        pixel_offset = 14 + header_size
+        mask_bytes = struct.pack("<IIII", *masks) + b"\0" * (header_size - 56)
+    info = struct.pack(
+        "<IiiHHIIiiII", header_size, w, h, 1, bpp, 3, stride * h, 2835, 2835,
+        0, 0,
+    )
+    px = bytearray()
+    for y in range(h):
+        row = bytes(range(y * w * ch, y * w * ch + w * ch))
+        px += row + b"\0" * (stride - len(row))
+    data = (
+        b"BM" + struct.pack("<IHHI", pixel_offset + len(px), 0, 0, pixel_offset)
+        + info + mask_bytes + px
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def test_bitfields_bgra_masks_accepted(tmp_path):
+    from cloudscape_tpu.utils.assets import _load_bmp_py, load_bmp
+
+    p = str(tmp_path / "ok.bmp")
+    _synth_bitfields_bmp(p, (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000))
+    a = _load_bmp_py(p)
+    assert a.shape == (2, 2, 4)
+    b = load_bmp(p)  # native fast path must agree
+    np.testing.assert_array_equal(a, b)
+    # Classic 40-byte header with 3 appended masks also accepted.
+    p40 = str(tmp_path / "ok40.bmp")
+    _synth_bitfields_bmp(p40, (0x00FF0000, 0x0000FF00, 0x000000FF, 0),
+                         header_size=40)
+    assert _load_bmp_py(p40).shape == (2, 2, 4)
+    np.testing.assert_array_equal(_load_bmp_py(p40), load_bmp(p40))
+
+
+def test_bitfields_swapped_masks_rejected(tmp_path):
+    """Non-BGR(A) channel masks must be rejected, not silently decoded with
+    swapped channels (would corrupt the weather map's type/coverage)."""
+    import pytest
+
+    from cloudscape_tpu.utils.assets import _load_bmp_py
+
+    p = str(tmp_path / "rgba.bmp")
+    _synth_bitfields_bmp(p, (0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000))
+    with pytest.raises(ValueError, match="BGR"):
+        _load_bmp_py(p)
+    # The native decoder must reject it too (negative rc → fallback raises).
+    import ctypes
+
+    lib = ctypes.CDLL("/root/repo/native/libassetio.so")
+    buf = (ctypes.c_float * 64)()
+    rc = lib.assetio_bmp_decode(p.encode(), buf, ctypes.c_int64(64))
+    assert rc < 0

@@ -90,3 +90,32 @@ def test_horizon_fade_full_below(fixtures):
         jnp.asarray(tlut), jnp.float32(0.3),
         jnp.asarray(sun, jnp.float32), jnp.float32(1.0)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_deband_dither_zero_mean_and_bounded():
+    """The debanding dither (`clouds.gdshader:1` use_debanding analog) must
+    be zero-mean and bounded by ±0.5 display LSB."""
+    from cloudscape_tpu.models.compositor import deband_dither
+
+    d = np.asarray(deband_dither((128, 128)))
+    assert abs(float(d.mean())) < 2e-5
+    assert float(np.abs(d).max()) <= 0.5 / 255.0 + 1e-7
+    # Decorrelated between adjacent pixels (not a constant field).
+    assert float(d.std()) > 0.2 / 255.0
+
+
+def test_composite_deband_flag(fixtures):
+    """deband=False (default) is bit-identical to before; deband=True
+    perturbs by at most one display LSB."""
+    cloud_from, cloud_to, sky_from, sky_to, tlut, sun = fixtures
+    d = _viewdirs(64 * 32).reshape(32, 64, 3)
+    args = (jnp.asarray(d, jnp.float32), jnp.asarray(cloud_from),
+            jnp.asarray(cloud_to), jnp.asarray(sky_from),
+            jnp.asarray(sky_to), jnp.asarray(tlut), jnp.float32(0.5),
+            jnp.asarray(sun, jnp.float32), jnp.float32(2.0))
+    base = np.asarray(composite(*args))
+    np.testing.assert_array_equal(np.asarray(composite(*args, deband=False)),
+                                  base)
+    on = np.asarray(composite(*args, deband=True))
+    assert np.abs(on - base).max() <= 0.5 / 255.0 + 1e-7
+    assert (on != base).any()

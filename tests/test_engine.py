@@ -282,3 +282,80 @@ def test_sun_change_picked_up_at_cycle_boundary(engine):
     engine.update_sky(now=0.0)
     assert not np.allclose(engine.frame_data.light_direction, old_dir)
     assert engine.frame_data.light_energy == 2.0
+
+
+def test_tile_capacity_thin_overcast(tiny_noise):
+    """The tile path's capacity_frac=0.5 is generous but NOT a hard
+    guarantee (engine.py comment): gate the adversarial regime — optically
+    thin (low density ⇒ t_prefix stays high all march) at full coverage —
+    against the exact (compact=False) march."""
+    from cloudscape_tpu.models import atmosphere
+    from cloudscape_tpu.models.density import MarchParams
+    from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+    from cloudscape_tpu.ops.octmap import texel_directions
+    from cloudscape_tpu.utils.image import psnr
+
+    bp = BrickPack.from_noise(tiny_noise)
+    tlut = atmosphere.transmittance_lut()
+    sun = np.array([0.3, 0.5, -0.8])
+    sun /= np.linalg.norm(sun)
+    slut = atmosphere.sky_lut(tlut, jnp.asarray(sun, jnp.float32))
+    params = MarchParams.create(cloud_coverage=1.0, density=0.004,
+                                light_direction=sun)
+    dirs = texel_directions(32)
+    exact = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, chunk=256,
+                     compact=False)
+    )
+    got = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=16, chunk=256,
+                     capacity_frac=0.5)
+    )
+    active = float(np.mean(exact[..., 3] > 0))
+    assert active > 0.5, f"scene not overcast enough to stress capacity ({active:.2f})"
+    p = psnr(got, exact)
+    assert p > 40.0, f"thin-overcast tile PSNR {p:.1f} dB < 40 dB"
+
+
+def test_mesh_validation_disables_engine(tiny_noise, monkeypatch):
+    """A mesh-path kernel failure must trip can_run=False at construction
+    (validate-then-enable) instead of raising from the render loop."""
+    import jax
+    from jax.sharding import Mesh
+
+    import cloudscape_tpu.engine as eng_mod
+
+    def boom(*a, **k):
+        raise ValueError("deliberately broken mesh kernel")
+
+    monkeypatch.setattr(eng_mod, "_update_tile_mesh", boom)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rays",))
+    eng = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise, mesh=mesh)
+    assert not eng.can_run
+    frame_before = eng.ring.frame
+    eng.update_sky(now=0.0)  # must no-op, not raise
+    assert eng.ring.frame == frame_before
+
+
+def test_restore_before_first_tick_warm_starts(tmp_path, tiny_noise):
+    """A checkpoint taken before the first tick must restore to an engine
+    that still performs the warm start (sky complete on first frame)."""
+    e1 = CloudSkyEngine(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
+                        sun=SunState(direction=(0.3, 0.5, -0.8)),
+                        noise=tiny_noise)
+    assert e1.needs_full_sky_init
+    path = str(tmp_path / "pre_tick.npz")
+    e1.save_file(path)
+
+    e2 = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise)
+    e2.load_file(path)
+    assert e2.needs_full_sky_init
+    e2.update_sky(now=0.0)
+    assert np.any(np.asarray(e2.cloud_ring)), "warm start did not run"
+
+    # And a post-tick checkpoint must NOT re-run the warm start.
+    path2 = str(tmp_path / "post_tick.npz")
+    e2.save_file(path2)
+    e3 = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise)
+    e3.load_file(path2)
+    assert not e3.needs_full_sky_init

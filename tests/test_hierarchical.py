@@ -90,3 +90,33 @@ def test_hierarchical_below_horizon_zero(setup):
                            steps=16, chunk=64, coarse_steps=8)
     )
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_overcast_default_capacity_drops_no_rays(setup):
+    """ADVICE r1: at the old 0.75 default ray capacity, a near-fully-occupied
+    scene silently rendered up to 25% of the hemisphere black. The default is
+    now 1.0 (can never overflow); gate an overcast scene against the exact
+    march and assert no occupied texel comes back empty."""
+    bp, slut, _, dirs, _ = setup
+    sun = np.array([0.3, 0.4, -0.85])
+    sun /= np.linalg.norm(sun)
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]), cloud_coverage=0.95,
+        light_direction=sun, ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    exact = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=64, chunk=1024,
+                     capacity_frac=0.5)
+    )
+    hier = np.asarray(
+        march_hierarchical(dirs, params, bp, slut, steps=64, chunk=1024,
+                           capacity_frac=0.5)
+    )
+    occupied = exact[..., 3] > 0.05
+    assert occupied.mean() > 0.6, "scene not overcast enough for this gate"
+    dropped = occupied & (hier[..., 3] == 0.0)
+    assert dropped.mean() == 0.0, (
+        f"{dropped.mean():.1%} of occupied texels rendered empty"
+    )
+    p = psnr(hier, exact)
+    assert p > 30.0, f"overcast hierarchical PSNR {p:.1f} dB"
