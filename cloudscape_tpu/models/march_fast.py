@@ -323,15 +323,55 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
 def _compact_indices(mask_flat, capacity: int, total: int):
     """Indices of the first `capacity` True entries, padded with `total`.
 
-    Equivalent to jnp.nonzero(mask, size=capacity, fill_value=total) but via
-    cumsum + scatter — jnp.nonzero lowers to a full SORT on TPU (~90 ms per
-    call at 67M elements, seen in device traces)."""
-    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1  # destination slot
-    pos = jnp.where(mask_flat, pos, capacity)  # inactive → dropped
-    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
-    return jnp.full((capacity + 1,), total, jnp.int32).at[pos].set(
-        src, mode="drop"
+    Equivalent to jnp.nonzero(mask, size=capacity, fill_value=total), but
+    TPU-shaped. jnp.nonzero lowers to a full SORT (~90 ms at 67M); the round-1
+    replacement (cumsum + a total-sized scatter) still paid ~7 ns per ELEMENT
+    in scatter-update latency (~490 ms at 67M). This version scatters only
+    per-128-lane-BLOCK offsets (total/128 updates) and resolves each
+    destination slot with ONE fat-row gather:
+
+    1. blocks of 128 lanes: inclusive lane cumsum + per-block counts;
+    2. block offsets (exclusive cumsum over blocks, ~total/128 elements);
+    3. for each destination slot k, the owning block and its offset are
+       recovered by scattering (block_index, block_offset) at offset
+       positions and forward-filling with a running max — capacity-sized
+       scans, not total-sized;
+    4. the in-block rank r = k − offset resolves to a lane by comparing the
+       block's 128-lane cumsum row (one gather row) against r+1.
+    """
+    C = 128
+    n = mask_flat.shape[0]
+    n_pad = (-n) % C
+    if n_pad:
+        mask_flat = jnp.concatenate(
+            [mask_flat, jnp.zeros((n_pad,), mask_flat.dtype)]
+        )
+    nb = mask_flat.shape[0] // C
+    m2 = mask_flat.reshape(nb, C).astype(jnp.int32)
+    lane_cum = jnp.cumsum(m2, axis=1)  # [nb, 128] inclusive
+    row_cnt = lane_cum[:, -1]
+    row_off = jnp.cumsum(row_cnt) - row_cnt  # exclusive offsets
+
+    # Forward-fill (block id, block offset) over destination slots. Only
+    # nonempty blocks scatter (their offsets are unique); empty blocks and
+    # offsets ≥ capacity go out of bounds and are dropped.
+    pos_b = jnp.where((row_cnt > 0) & (row_off < capacity), row_off,
+                      capacity + 1)
+    blk_of = jnp.full((capacity + 1,), -1, jnp.int32).at[pos_b].max(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop", unique_indices=True,
     )[:capacity]
+    off_of = jnp.zeros((capacity + 1,), jnp.int32).at[pos_b].max(
+        row_off, mode="drop", unique_indices=True,
+    )[:capacity]
+    blk = jax.lax.cummax(blk_of)
+    off = jax.lax.cummax(off_of)
+
+    r = jnp.arange(capacity, dtype=jnp.int32) - off
+    rows = jnp.take(lane_cum, jnp.maximum(blk, 0), axis=0,
+                    indices_are_sorted=True)  # [capacity, 128]
+    lane = jnp.argmax(rows == (r + 1)[:, None], axis=1).astype(jnp.int32)
+    valid = (blk >= 0) & (r < rows[:, -1])
+    return jnp.where(valid, blk * C + lane, total)
 
 
 def _pad_blocks(flat, chunk, fill):
@@ -388,9 +428,22 @@ def _cone_cache_coords_xyz(px, py, pz, extent: float):
 
 def build_cone_cache(params: MarchParams, bp: BrickPack,
                      light_steps: int = 6, res=(16, 256, 256),
-                     extent: float = 220e3, chunk: int = 16384) -> ConeCache:
+                     extent: float = 220e3, chunk: int = 16384,
+                     sparse_capacity_frac: float | None = 0.45) -> ConeCache:
     """Evaluate `_cone_density` on the cache grid (device-side, chunked) and
-    pack it into a clamp-wrap brick table. res = (n_hf, n_z, n_x)."""
+    pack it into a clamp-wrap brick table. res = (n_hf, n_z, n_x).
+
+    sparse_capacity_frac: when set, the 17-row cone march runs only on grid
+    cells whose pre-erosion density is positive, dilated by one cell (the
+    march queries the cache only at `pre > 0` sample positions, and a
+    trilinear footprint reaches the 1-cell neighborhood). Near-exact rather
+    than exact: center-sampled occupancy can miss sub-cell features between
+    cell centers — measured ≤ 2.5e-4 max image delta (~99 dB) vs the dense
+    build (tests/test_march_v2.py). Sized as a fraction of all grid cells;
+    overflow leaves far cells at cd=0, so keep ≥ the scene's
+    dilated-occupancy (~0.24 on the bench scene) with margin. None = dense
+    build (every cell).
+    """
     nd, nh, nw = res
     ldir = params.light_direction / jnp.linalg.norm(params.light_direction)
     light_offsets, distant_offset, _ = _light_offsets(ldir, light_steps)
@@ -411,23 +464,62 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
     # Beyond-horizon grid cells have no valid shell point; clamp onto the
     # shell (those cells are never queried by real samples).
     y = jnp.sqrt(jnp.maximum(rr * rr - rho2, 1.0))
-    p = jnp.stack(jnp.broadcast_arrays(x, y, z), axis=-1).reshape(-1, 3)
+    px, py, pz = (jnp.broadcast_to(v, res).reshape(-1) for v in (x, y, z))
+    n = px.shape[0]
 
-    n = p.shape[0]
-    pad = (-n) % chunk
-    if pad:
-        p = jnp.concatenate(
-            [p, jnp.broadcast_to(p[-1], (pad, 3))], axis=0
-        )
-    cd = jax.lax.map(
-        lambda blk: _cone_density(blk, params, bp, light_offsets,
-                                  distant_offset, light_steps),
-        p.reshape(-1, chunk, 3),
-    ).reshape(-1)[:n]
-
-    vol = cd.reshape(nd, nh, nw, 1)
     from cloudscape_tpu.ops.brick import build_brick3_device
 
+    def chunked(fn, *arrays):
+        blocks = tuple(_pad_blocks(a, chunk, a.reshape(-1)[-1])
+                       for a in arrays)
+        return jax.lax.map(fn, blocks)
+
+    if sparse_capacity_frac is None:
+        cd = chunked(
+            lambda blk: _cone_density_xyz(blk[0], blk[1], blk[2], params, bp,
+                                          light_offsets, distant_offset,
+                                          light_steps),
+            px, py, pz,
+        ).reshape(-1)[:n]
+    else:
+        pre = chunked(
+            lambda blk: _density_pre_xyz(
+                blk[0], blk[1], blk[2],
+                _weather_rb_xy(bp, blk[0], blk[2], params.weather_pos),
+                0.0, params, bp)[0],
+            px, py, pz,
+        ).reshape(-1)[:n]
+        occ = (pre > 0.0).reshape(nd, nh, nw)
+        # One-cell dilation per axis (trilinear query footprint).
+        for ax in range(3):
+            occ = occ | jnp.roll(occ, 1, ax) | jnp.roll(occ, -1, ax)
+        occ = occ.reshape(-1)
+        capacity = max(int(n * sparse_capacity_frac), chunk)
+        capacity += (-capacity) % chunk
+        idx = _compact_indices(occ, capacity, n)
+        # Cell coordinates recomputed from the flat cell index (pure ALU —
+        # cheaper than three narrow coordinate gathers).
+        safe = jnp.minimum(idx, n - 1)
+        iz = safe // (nh * nw)
+        iy = (safe // nw) % nh
+        ix = safe % nw
+        cx = unwarp((ix.astype(jnp.float32) + 0.5) / nw)
+        cz = unwarp((iy.astype(jnp.float32) + 0.5) / nh)
+        cr = SKY_B_RADIUS + ((iz.astype(jnp.float32) + 0.5) / nd) * (
+            SKY_T_RADIUS - SKY_B_RADIUS)
+        cy = jnp.sqrt(jnp.maximum(cr * cr - cx * cx - cz * cz, 1.0))
+        cd_c = chunked(
+            lambda blk: _cone_density_xyz(blk[0], blk[1], blk[2], params, bp,
+                                          light_offsets, distant_offset,
+                                          light_steps),
+            cx, cy, cz,
+        ).reshape(-1)
+        cd = jnp.zeros((n + 1,), jnp.float32).at[idx].set(
+            cd_c[:capacity], mode="drop", indices_are_sorted=True,
+            unique_indices=True,
+        )[:n]
+
+    vol = cd.reshape(nd, nh, nw, 1)
     table = build_brick3_device(vol, (8, 4, 4), (7, 3, 3), wrap="clamp")
     return ConeCache(table=table, extent=extent)
 
@@ -456,16 +548,23 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
     total = n * steps
 
+    # Per-ray geometry packed into ONE 8-lane row: a single row-latency per
+    # compacted sample instead of 7 separate narrow gathers.
+    geom = jnp.concatenate(
+        [p0, ndir, ss[:, None], jnp.zeros_like(ss[:, None])], axis=1
+    )  # [n, 8] (p0 xyz, ndir xyz, ss, pad)
+
     def positions_for_xyz(idx):
         """Recompute sample positions (component planes) from flat
         (ray·step) indices — cheaper than gathering stored [.., 3] vectors
-        (narrow rows pad 42×)."""
+        (narrow rows pad 42×). idx ascending from the cumsum compaction."""
         ray = jnp.minimum(idx // steps, n - 1)
         stp = (idx % steps).astype(jnp.float32) + 1.0
-        tt = ss[ray] * stp
-        return (p0[ray, 0] + ndir[ray, 0] * tt,
-                p0[ray, 1] + ndir[ray, 1] * tt,
-                p0[ray, 2] + ndir[ray, 2] * tt)
+        g = jnp.take(geom, ray, axis=0, indices_are_sorted=True)
+        tt = g[:, 6] * stp
+        return (g[:, 0] + g[:, 3] * tt,
+                g[:, 1] + g[:, 4] * tt,
+                g[:, 2] + g[:, 5] * tt)
 
     # ---- Phase 1 (dense, chunked): primary density + height fraction.
     def dense_chunk(args):
@@ -512,7 +611,7 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
              az.reshape(-1, chunk)),
         ).reshape(-1)
     cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
-        cd_active, mode="drop"
+        cd_active, mode="drop", indices_are_sorted=True, unique_indices=True,
     )[:total].reshape(n, steps)
 
     beers = jnp.exp(-params.density * cd * lss * 3.0)
@@ -530,6 +629,184 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
 
     out = jnp.concatenate([L, alpha[..., None]], axis=-1)
     return jnp.where(above[..., None], out, 0.0)
+
+
+def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
+                 bp: BrickPack, atmos, steps: int, chunk: int,
+                 capacity_frac: float, cone_cache: "ConeCache",
+                 weather_every: int = 4):
+    """Row-lean march core (the headline-path variant of `_march_core`).
+
+    Same math, restructured to minimize gather rows per (ray, step) sample —
+    the march is gather-latency-bound (docs/PERF_NOTES.md):
+
+    1. Weather is fetched at every `weather_every`-th step and lerped along
+       the ray (its uv is LINEAR in ray t, and the map's features are
+       ~16.7 km-period blobs vs ≤ 0.7 km between fetch nodes): 1/K weather
+       rows per sample instead of 1.
+    2. The dense phase fetches only the large-noise row → `pre`
+       (`clouds.glsl:109-125`). The detail-erosion fetch
+       (`clouds.glsl:127-136`) is staged behind the exact `pre > 0`
+       occupancy predicate (erosion only reduces density; pre ≤ 0 remaps to
+       exactly 0) — ~1 small-noise row per OCCUPIED sample instead of per
+       sample. (Round 1 measured this staging as a loss with jnp.nonzero +
+       stacked-position gathers; with cumsum compaction + component-plane
+       position recompute it wins — see PERF_NOTES round 2.)
+    3. The cone/light density comes from the per-cycle `cone_cache`
+       (REQUIRED here): 1 brick row per occupied sample, evaluated on the
+       SAME compacted list as the erosion (one compaction pass total),
+       masked by t > 0 afterwards.
+
+    capacity_frac sizes the shared occupied-sample list as a fraction of
+    n·steps; overflow zeroes whole samples (not just their sun term), so
+    keep ≥ the scene's `pre > 0` fraction with margin (gated in
+    tests/test_march_v2.py).
+    """
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    n = ndir.shape[0]
+    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
+    total = n * steps
+    K = weather_every
+    assert steps % K == 0, "weather_every must divide steps"
+    n_nodes = steps // K + 1
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    i_node = jnp.arange(n_nodes, dtype=jnp.float32) * K  # i-1 of each node
+
+    # ---- Phase 1 (dense, chunked): pre + hf, one large row per sample.
+    def dense_chunk(args):
+        p0c, ndirc, ssc = args
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        if K == 1:
+            weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        else:
+            # Weather nodes (uv linear in t → lerp error is bilinear-kink
+            # scale only; borderline at K=2, see tests).
+            tt_n = ssc[:, None] * (i_node[None, :] + 1.0)
+            wx = p0c[:, 0, None] + ndirc[:, 0, None] * tt_n
+            wz = p0c[:, 2, None] + ndirc[:, 2, None] * tt_n
+            w_nodes = _weather_rb_xy(bp, wx, wz, params.weather_pos)
+            fr = (jnp.arange(K, dtype=jnp.float32) / K)[None, None, :, None]
+            w0 = w_nodes[:, :-1, None, :]
+            w1 = w_nodes[:, 1:, None, :]
+            weather = (w0 + (w1 - w0) * fr).reshape(
+                w_nodes.shape[0], steps, 2
+            )
+        return _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+    )
+    pre, hf = jax.lax.map(dense_chunk, blocks)
+    pre = pre.reshape(-1, steps)[:n]
+    hf = hf.reshape(-1, steps)[:n]
+
+    # ---- Phase 2 (one shared compaction): erosion → t, cone-cache → cd.
+    occupied = (pre > 0.0) & above[:, None]
+    capacity = max(int(total * capacity_frac), chunk)
+    capacity += (-capacity) % chunk
+    idx = _compact_indices(occupied.reshape(-1), capacity, total)
+
+    # Per-ray geometry packed into ONE 8-lane row: a single row-latency per
+    # staged sample instead of 7 separate narrow gathers (row latency
+    # dominates; 7 gathers at 0.25·n·steps indices measured ~4s of the round-1
+    # v2 prototype's 5.4s frame). idx is ascending from the cumsum compaction
+    # (trailing fill = total), so every take/scatter is flagged sorted.
+    geom = jnp.concatenate(
+        [p0, ndir, ss[:, None], jnp.zeros_like(ss[:, None])], axis=1
+    )  # [n, 8] (p0 xyz, ndir xyz, ss, pad)
+    ray_i = jnp.minimum(idx // steps, n - 1)
+    stp = (idx % steps).astype(jnp.float32) + 1.0
+    g = jnp.take(geom, ray_i, axis=0, indices_are_sorted=True)
+    tt_e = g[:, 6] * stp
+    epx = g[:, 0] + g[:, 3] * tt_e
+    epy = g[:, 1] + g[:, 4] * tt_e
+    epz = g[:, 2] + g[:, 5] * tt_e
+    pre_e = jnp.take(pre.reshape(-1), jnp.minimum(idx, total - 1),
+                     indices_are_sorted=True)
+    hf_e = m.height_fraction(jnp.sqrt(epx * epx + epy * epy + epz * epz),
+                             SKY_B_RADIUS, SKY_T_RADIUS)
+
+    def staged_chunk(blk):
+        bpre, bhf, bx, by_, bz = blk
+        t_blk = _density_finish_xyz(bpre, bhf, bx, by_, bz, 0.0, params, bp)
+        qx, qz, qh = _cone_cache_coords_xyz(bx, by_, bz, cone_cache.extent)
+        cd_blk = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
+        return t_blk, jnp.where(t_blk > 0.0, cd_blk, 0.0)
+
+    t_e, cd_e = jax.lax.map(
+        staged_chunk,
+        (pre_e.reshape(-1, chunk), hf_e.reshape(-1, chunk),
+         epx.reshape(-1, chunk), epy.reshape(-1, chunk),
+         epz.reshape(-1, chunk)),
+    )
+    # Two 1-D scatters (a packed [total, 2] scatter pads its 2-lane minor dim
+    # to the 128-lane vreg tile — 64× write traffic, measured +3 s/frame).
+    # Fill rows all target the discarded slot `total`, so sorted+unique flags
+    # hold for every kept row.
+    def scatter_back(vals):
+        return jnp.zeros((total + 1,), jnp.float32).at[idx].set(
+            vals.reshape(-1), mode="drop", indices_are_sorted=True,
+            unique_indices=True,
+        )[:total].reshape(n, steps)
+
+    t = scatter_back(t_e)
+    cd = scatter_back(cd_e)
+
+    # ---- Phase 3 (dense elementwise): identical to `_march_core`.
+    dt = jnp.exp(-params.density * t * ss[:, None])
+    t_prefix = jnp.concatenate(
+        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
+    )
+    beers = jnp.exp(-params.density * cd * lss * 3.0)
+    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
+    beers_total = jnp.where(t > 0.0, 2.0 * beers * powder, 0.0)
+
+    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
+        m.smoothstep(0.0, 1.0, hf)[..., None]
+    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
+        * t[..., None]
+    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
+        jnp.maximum(1e-7, t)[..., None]
+    L = jnp.sum(contrib, axis=1)
+    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+
+    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
+    return jnp.where(above[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
+                                   "capacity_frac", "weather_every",
+                                   "cone_res"))
+def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
+                    steps: int = 128, light_steps: int = 6,
+                    chunk: int = 32768, capacity_frac: float = 0.25,
+                    weather_every: int = 1,
+                    cone_cache: "ConeCache | None" = None,
+                    cone_res=(32, 512, 512)):
+    """Row-lean fast march (headline path): `_march_core2` over world
+    directions. Builds the per-cycle cone cache inline when not supplied.
+    Position-matched to `march_bricks` (same sample placement); the three
+    approximations (weather lerp, staged erosion, cached cone density) are
+    each gated ≥ 40 dB in tests/test_march_v2.py."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    atmos = ambient_colors(params, sky_lut_img)
+    if cone_cache is None:
+        cone_cache = build_cone_cache(params, bp, light_steps, res=cone_res,
+                                      chunk=min(chunk, max(n, 1)))
+    above, ndir, ss, p0, phase, _ = _ray_setup(flat, params, steps)
+    out = _march_core2(above, ndir, ss, p0, phase, params, bp, atmos,
+                       steps, min(chunk, max(n, 1)), capacity_frac,
+                       cone_cache, weather_every)
+    return out.reshape(shape + (4,))
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "coarse_steps",
