@@ -40,14 +40,35 @@ from cloudscape_tpu.ops.octmap import texel_directions
 from cloudscape_tpu.temporal import FrameData, RingState
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _cone_builder(light_steps: int, res):
+    """Jitted per-(light_steps, res) cone-cache builder — cached so repeated
+    cycle-boundary rebuilds reuse one compiled executable."""
+    from cloudscape_tpu.models.march_fast import build_cone_cache
+
+    return jax.jit(
+        partial(build_cone_cache, light_steps=light_steps, res=res,
+                chunk=65536)
+    )
+
+
+def _build_cone_jit(params, bricks, *, light_steps: int, res):
+    return _cone_builder(light_steps, tuple(res))(params, bricks)
+
+
 @partial(
     jax.jit,
-    static_argnames=("texture_size", "region", "steps", "light_steps", "kernel"),
+    static_argnames=("texture_size", "region", "steps", "light_steps",
+                     "kernel", "capacity_frac"),
     donate_argnums=(0,),
 )
 def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
                  *, texture_size: int, region: int, steps: int,
-                 light_steps: int, kernel: str = "reference"):
+                 light_steps: int, kernel: str = "reference",
+                 capacity_frac: float = 0.5):
     """Render one region² tile into ring[tex_idx] at (x0, y0) — the analog of
     the reference's per-frame compute dispatch (`cloud_sky.gd:234-248`).
 
@@ -58,6 +79,27 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
     brick-table fast march ("fast", takes a BrickPack).
     """
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region, height=region)
+    tile = _march_tile(dirs, params, noise, sky_img, region=region,
+                       steps=steps, light_steps=light_steps, kernel=kernel,
+                       capacity_frac=capacity_frac)
+    return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+
+
+def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
+                light_steps: int, kernel: str, capacity_frac: float = 0.5):
+    """Shared tile march body: kernel selects the scan-based reference march
+    ("reference", takes a NoisePack), the exact brick-table march ("fast",
+    takes a BrickPack), or the row-lean staged march ("fast2", takes a
+    (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle)."""
+    if kernel == "fast2":
+        from cloudscape_tpu.models.march_fast import march_bricks_v2
+
+        bricks, cone_cache = noise
+        return march_bricks_v2(dirs, params, bricks, sky_img, steps=steps,
+                               light_steps=light_steps,
+                               chunk=min(region * region, 16384),
+                               capacity_frac=capacity_frac,
+                               cone_cache=cone_cache)
     if kernel == "fast":
         from cloudscape_tpu.models.march_fast import march_bricks
 
@@ -67,25 +109,24 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
         # density, coverage≈1) can keep >50% of (ray, step) samples active,
         # at which point overflowed samples lose their sun term (gated in
         # tests/test_engine.py::test_tile_capacity_thin_overcast).
-        tile = march_bricks(dirs, params, noise, sky_img, steps=steps,
+        return march_bricks(dirs, params, noise, sky_img, steps=steps,
                             light_steps=light_steps,
                             chunk=min(region * region, 16384),
                             capacity_frac=0.5)
-    else:
-        tile = march(dirs, params, noise, sky_img, steps=steps,
-                     light_steps=light_steps)
-    return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+    return march(dirs, params, noise, sky_img, steps=steps,
+                 light_steps=light_steps)
 
 
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "mesh", "axis_name"),
+                     "kernel", "mesh", "axis_name", "capacity_frac"),
     donate_argnums=(0,),
 )
 def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
                       sky_img, *, texture_size: int, region: int, steps: int,
-                      light_steps: int, kernel: str, mesh, axis_name: str):
+                      light_steps: int, kernel: str, mesh, axis_name: str,
+                      capacity_frac: float = 0.5):
     """Multi-chip tile update: the tile's rays are sharded over the mesh
     rows (shard_map, zero collectives inside the march — rays share only
     replicated read-only inputs), the ring stays replicated (28 MB at the
@@ -93,18 +134,13 @@ def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
     display composite reads in full)."""
     from jax.sharding import PartitionSpec as P
 
-    from cloudscape_tpu.models.march_fast import march_bricks
-
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
                             height=region)
 
     def shard_fn(d, p, n, s):
-        if kernel == "fast":
-            return march_bricks(d, p, n, s, steps=steps,
-                                light_steps=light_steps,
-                                chunk=max(d.shape[0] * d.shape[1], 1),
-                                capacity_frac=0.5)
-        return march(d, p, n, s, steps=steps, light_steps=light_steps)
+        return _march_tile(d, p, n, s, region=max(d.shape[0], 1),
+                           steps=steps, light_steps=light_steps,
+                           kernel=kernel, capacity_frac=capacity_frac)
 
     tile = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -117,13 +153,13 @@ def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "count"),
+                     "kernel", "count", "capacity_frac"),
     donate_argnums=(0,),
 )
 def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
                         sky_img, *, texture_size: int, region: int,
                         steps: int, light_steps: int, kernel: str,
-                        count: int):
+                        count: int, capacity_frac: float = 0.5):
     """Render `count` consecutive tiles of the row-major sweep in ONE
     dispatch (a fori_loop of tile updates over the donated ring).
 
@@ -139,21 +175,56 @@ def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
         y0 = (tile // tiles_per_row) * region
         dirs = texel_directions(texture_size, x0=x0, y0=y0,
                                 width=region, height=region)
-        if kernel == "fast":
-            from cloudscape_tpu.models.march_fast import march_bricks
-
-            out = march_bricks(dirs, params, noise, sky_img, steps=steps,
-                               light_steps=light_steps,
-                               chunk=min(region * region, 16384),
-                               capacity_frac=0.5)
-        else:
-            out = march(dirs, params, noise, sky_img, steps=steps,
-                        light_steps=light_steps)
+        out = _march_tile(dirs, params, noise, sky_img, region=region,
+                          steps=steps, light_steps=light_steps, kernel=kernel,
+                          capacity_frac=capacity_frac)
         return jax.lax.dynamic_update_slice(
             ring, out[None], (tex_idx, y0, x0, 0)
         )
 
     return jax.lax.fori_loop(0, count, body, ring)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("texture_size", "region", "steps", "light_steps",
+                     "kernel", "deband", "capacity_frac"),
+    donate_argnums=(0,),
+)
+def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
+                        sky_b0, sky_b1, params: MarchParams, noise, sky_slot,
+                        tlut, eyedirs, blend_amount, light_dir,
+                        sun_disk_scale, *, texture_size: int, region: int,
+                        steps: int, light_steps: int, kernel: str,
+                        deband: bool = False, capacity_frac: float = 0.5):
+    """One display frame in ONE device dispatch: tile update + composite.
+
+    The split `update_sky()` + `render_view()` path pays two dispatches
+    (~60 ms relay RTT each through the axon tunnel); the serving path fuses
+    them (VERDICT r1 next-#5). Returns (new_ring, frame)."""
+    from cloudscape_tpu.models.compositor import composite_display
+    from cloudscape_tpu.ops.brick import build_brick2_device
+
+    dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
+                            height=region)
+    tile = _march_tile(dirs, params, noise, sky_ring[sky_slot], region=region,
+                       steps=steps, light_steps=light_steps, kernel=kernel,
+                       capacity_frac=capacity_frac)
+    ring = jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+    # Display blending is linear, so it commutes with the bilinear fetch:
+    # blend the texture PAIRS once per frame, rebrick (trivial: ~11k gather
+    # rows), and composite with 3 fat rows per pixel instead of 5 textures ×
+    # 4 narrow corner rows (~100 ms/frame at 1280×720, measured).
+    cf = ring[blend_from]
+    cb = build_brick2_device(cf + (ring[blend_to] - cf) * blend_amount,
+                             (4, 8), (3, 7), wrap="clamp")
+    sf = sky_ring[sky_b0]
+    sb = build_brick2_device(sf + (sky_ring[sky_b1] - sf) * blend_amount,
+                             (4, 8), (3, 7), wrap="clamp")
+    tb = build_brick2_device(tlut, (4, 8), (3, 7), wrap="clamp")
+    frame = composite_display(eyedirs, cb, sb, tb, light_dir,
+                              sun_disk_scale, deband=deband)
+    return ring, frame
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -181,17 +252,25 @@ class CloudSkyEngine:
         now: float = 0.0,
         kernel: str = "fast",
         mesh=None,
+        cone_res=(32, 512, 512),
     ):
-        """kernel: "fast" (brick-table, occupancy-compacted march — the
-        production path) or "reference" (scan-based march, the numerics
-        anchor; both gated against the f64 oracle).
+        """kernel: "fast" (brick-table, occupancy-compacted march — exact,
+        the default), "fast2" (row-lean staged march + per-cycle cone-density
+        cache — the serving path, ~40% faster per tile, ≥40 dB-gated vs
+        "fast"), or "reference" (scan-based march, the numerics anchor; all
+        gated against the f64 oracle).
+
+        cone_res: (hf, z, x) resolution of the fast2 cone cache, rebuilt at
+        every cycle boundary ((32, 512, 512) holds 42 dB at the full bench
+        scale; cost ~0.6 s/cycle on a v5e, amortized over frames_to_update).
 
         mesh: an optional `jax.sharding.Mesh` — tile updates compute with
         rays sharded over the mesh's first axis (ICI), state replicated.
         The tile edge must divide the mesh size."""
-        if kernel not in ("fast", "reference"):
+        if kernel not in ("fast", "fast2", "reference"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
+        self.cone_res = tuple(cone_res)
         self.mesh = mesh
         self.perf = perf.validate()
         if mesh is not None and self.perf.update_region_size % mesh.devices.size:
@@ -202,12 +281,13 @@ class CloudSkyEngine:
         self.config = config
         self.sun = sun
         self.noise = noise if noise is not None else reference_noise_pack()
-        if kernel == "fast":
+        if kernel in ("fast", "fast2"):
             from cloudscape_tpu.models.march_fast import BrickPack
 
             self._bricks = BrickPack.from_noise(self.noise)
         else:
             self._bricks = None
+        self._cone_cache = None
 
         # Baked once at load, like `transmittance_lut.gd:51-78`.
         self.transmittance = atmosphere.transmittance_lut()
@@ -234,13 +314,14 @@ class CloudSkyEngine:
         kernel the render loop will actually dispatch; a trace/shape error
         disables the engine rather than raising from the loop."""
         try:
-            noise_arg = self._bricks if self.kernel == "fast" else self.noise
+            noise_arg = self._noise_arg
             common = dict(
                 texture_size=self.perf.texture_size,
                 region=self.perf.update_region_size,
                 steps=self.perf.march_steps,
                 light_steps=self.perf.light_steps,
                 kernel=self.kernel,
+                capacity_frac=0.5,
             )
             if self.mesh is not None:
                 fn = partial(_update_tile_mesh, mesh=self.mesh,
@@ -317,6 +398,24 @@ class CloudSkyEngine:
         self.frame_data.update_config(self.config)
         self.frame_data.integrate_wind(now)
         self._march_params = self.frame_data.to_march_params()
+        if self.kernel == "fast2":
+            # The cone-density cache is valid for exactly one FrameData
+            # snapshot; rebuild at every refresh (cycle boundary / warm
+            # start). Cost amortizes over frames_to_update tile ticks.
+            self._cone_cache = _build_cone_jit(
+                self._march_params, self._bricks,
+                light_steps=self.perf.light_steps, res=self.cone_res,
+            )
+
+    @property
+    def _noise_arg(self):
+        """The `noise` argument the tile kernels expect for this engine's
+        kernel mode."""
+        if self.kernel == "fast2":
+            return (self._bricks, self._cone_cache)
+        if self.kernel == "fast":
+            return self._bricks
+        return self.noise
 
     def _render_sky_lut(self) -> None:
         """One LUT render + ring rotation (`sky_lut.gd:122-148`), three times
@@ -346,7 +445,7 @@ class CloudSkyEngine:
             jnp.int32(self.ring.texture_to_update),
             jnp.int32(start_tile),
             self._march_params,
-            self._bricks if self.kernel == "fast" else self.noise,
+            self._noise_arg,
             self.sky_ring[self.ring.cloud_kernel_sky_slot],
             texture_size=self.perf.texture_size,
             region=region,
@@ -354,6 +453,7 @@ class CloudSkyEngine:
             light_steps=self.perf.light_steps,
             kernel=self.kernel,
             count=remaining,
+            capacity_frac=0.5,
         )
         self.ring.update_position = (0, 0)
         self.ring.frame = n_frames
@@ -421,6 +521,7 @@ class CloudSkyEngine:
             steps=self.perf.march_steps,
             light_steps=self.perf.light_steps,
             kernel=self.kernel,
+            capacity_frac=0.5,
         )
         args = (
             self.cloud_ring,
@@ -428,7 +529,7 @@ class CloudSkyEngine:
             jnp.int32(self.ring.update_position[0]),
             jnp.int32(self.ring.update_position[1]),
             self._march_params,
-            self._bricks if self.kernel == "fast" else self.noise,
+            self._noise_arg,
             self.sky_ring[self.ring.cloud_kernel_sky_slot],
         )
         if self.mesh is not None:
@@ -468,18 +569,71 @@ class CloudSkyEngine:
         )
 
     def render_frame(self, eyedirs, now: Optional[float] = None,
-                     amortized: bool = True) -> jax.Array:
+                     amortized: bool = True, fused: Optional[bool] = None,
+                     deband: bool = False) -> jax.Array:
         """One-call serving API: advance the sim and composite a camera frame.
 
         amortized=True ticks one tile (the reference's per-display-frame
         cost); amortized=False completes a whole cycle first (discrete-frame
         rendering, e.g. offline sequences).
+
+        fused (default: on for the amortized single-chip path) runs the tile
+        update AND the composite in ONE device dispatch — the split path pays
+        two host→device round trips per frame (~60 ms each through the axon
+        relay). Bit-identical to the split path (tested).
         """
-        if amortized:
-            self.update_sky(now)
-        else:
+        if fused is None:
+            fused = amortized and self.mesh is None
+        if not amortized:
             self.update_cycle(now)
-        return self.render_view(eyedirs)
+            return self.render_view(eyedirs, deband=deband)
+        if not fused or self.mesh is not None:
+            self.update_sky(now)
+            return self.render_view(eyedirs, deband=deband)
+
+        # Fused single-dispatch tick+composite. Host-side scheduling is
+        # identical to update_sky().
+        if not getattr(self, "can_run", True):
+            return self.render_view(eyedirs, deband=deband)
+        now = self._now(now)
+        if self.needs_full_sky_init:
+            self.needs_full_sky_init = False
+            self.initialize_sky(now)
+        if self.ring.frame >= self.perf.frames_to_update:
+            self.ring.rotate_cloud()
+            self._refresh_frame_data(now)
+            self._render_sky_lut()
+        self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
+        b0, b1 = self.ring.sky_back_textures
+        self.cloud_ring, frame = _render_frame_fused(
+            self.cloud_ring,
+            self.sky_ring,
+            jnp.int32(self.ring.texture_to_update),
+            jnp.int32(self.ring.update_position[0]),
+            jnp.int32(self.ring.update_position[1]),
+            jnp.int32(self.ring.texture_to_blend_from),
+            jnp.int32(self.ring.texture_to_blend_to),
+            jnp.int32(b0),
+            jnp.int32(b1),
+            self._march_params,
+            self._noise_arg,
+            jnp.int32(self.ring.cloud_kernel_sky_slot),
+            self.transmittance,
+            jnp.asarray(eyedirs, jnp.float32),
+            jnp.float32(self._blend_amount),
+            jnp.asarray(self.frame_data.light_direction, jnp.float32),
+            jnp.float32(self.config.sun_disk_scale),
+            texture_size=self.perf.texture_size,
+            region=self.perf.update_region_size,
+            steps=self.perf.march_steps,
+            light_steps=self.perf.light_steps,
+            kernel=self.kernel,
+            deband=deband,
+            capacity_frac=0.5,
+        )
+        self.ring.advance_cursor(self.perf.update_region_size,
+                                 self.perf.texture_size)
+        return frame
 
     def render_full_hemisphere(self, params: Optional[MarchParams] = None,
                                sky_img=None) -> jax.Array:
@@ -490,14 +644,15 @@ class CloudSkyEngine:
         if sky_img is None:
             sky_img = self.sky_ring[self.ring.cloud_kernel_sky_slot]
         dirs = texel_directions(self.perf.texture_size)
-        if self.kernel == "fast":
-            from cloudscape_tpu.models.march_fast import march_bricks
-
-            return march_bricks(
-                dirs, params, self._bricks, sky_img,
+        if self.kernel in ("fast", "fast2"):
+            noise_arg = self._noise_arg if self.kernel == "fast2" else \
+                self._bricks
+            return _march_tile(
+                dirs, params, noise_arg, sky_img,
+                region=self.perf.update_region_size,
                 steps=self.perf.march_steps,
                 light_steps=self.perf.light_steps,
-                chunk=min(self.perf.update_region_size ** 2, 16384),
+                kernel=self.kernel,
                 capacity_frac=0.5,
             )
         return march(dirs, params, self.noise, sky_img,
@@ -583,3 +738,9 @@ class CloudSkyEngine:
             not bool(np.any(np.asarray(state["cloud_ring"]))),
         )
         self._march_params = self.frame_data.to_march_params()
+        if self.kernel == "fast2":
+            # Derived per-cycle state: rebuild for the restored snapshot.
+            self._cone_cache = _build_cone_jit(
+                self._march_params, self._bricks,
+                light_steps=self.perf.light_steps, res=self.cone_res,
+            )

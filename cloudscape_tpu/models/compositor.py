@@ -16,8 +16,18 @@ import jax
 import jax.numpy as jnp
 
 from cloudscape_tpu.ops import math as m
+from cloudscape_tpu.ops.brick import BrickTable2D, sample_brick2
 from cloudscape_tpu.ops.octmap import world_dir_to_uv
 from cloudscape_tpu.ops.sampling import sample2d
+
+
+def _fetch_clamp(tex, uv):
+    """Clamp-wrap bilinear fetch from either a raw [H, W, C] image or a
+    BrickTable2D (the serving path rebricks its display textures per frame:
+    one fat gather row per fetch instead of 4 narrow corner gathers)."""
+    if isinstance(tex, BrickTable2D):
+        return sample_brick2(tex, uv)
+    return sample2d(tex, uv, wrap="clamp")
 
 # Megameter-unit geometry of the composite shader (`clouds.gdshader:72-75`).
 GROUND_RADIUS_MM = 6.360
@@ -29,14 +39,17 @@ _PI = jnp.pi  # Godot's shader PI built-in (full precision, unlike clouds.glsl)
 
 def sky_lut_blend(sky_from, sky_to, ray_dir, blend_amount):
     """`clouds.gdshader:34-45`: blended equirect lookup with the /50 exposure
-    normalization constant."""
+    normalization constant. sky_to=None reads a single pre-blended LUT
+    (blending commutes with the bilinear fetch)."""
     phi = jnp.arctan2(ray_dir[..., 2], ray_dir[..., 0])
     theta = jnp.arcsin(jnp.clip(ray_dir[..., 1], -1.0, 1.0))
     u = phi / _PI * 0.5 + 0.5
     v = jnp.sqrt(jnp.abs(theta) / (_PI * 0.5)) * jnp.sign(theta) * 0.5 + 0.5
     uv = jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
-    a = sample2d(sky_from, uv, wrap="clamp")[..., :3]
-    b = sample2d(sky_to, uv, wrap="clamp")[..., :3]
+    a = _fetch_clamp(sky_from, uv)[..., :3]
+    if sky_to is None:
+        return a / 50.0
+    b = _fetch_clamp(sky_to, uv)[..., :3]
     return (a + (b - a) * blend_amount) / 50.0
 
 
@@ -64,7 +77,7 @@ def transmittance_lookup(tlut, pos_mm, sun_dir):
         1.0,
     )
     uv = jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
-    return sample2d(tlut, uv, wrap="clamp")[..., :3]
+    return _fetch_clamp(tlut, uv)[..., :3]
 
 
 def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
@@ -80,6 +93,39 @@ def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
         has_sun, jnp.where(hits_ground[..., None], 0.0, sun_lum * tl), sun_lum
     )
     return col + sun_lum
+
+
+def composite_display(eyedir, cloud_blended, sky_blended, tlut, sun_dir,
+                      sun_disk_scale, *, deband: bool = False):
+    """Serving-path composite over PRE-BLENDED display textures.
+
+    Mathematically `composite` with the blend hoisted out of the per-pixel
+    fetches: the two cloud buffers and the two sky-LUT backbuffers are
+    blended once per frame (blending is linear, so it commutes with the
+    bilinear fetch up to fp reassociation) and rebricked, cutting the
+    per-pixel gather cost from 5 textures × 4 narrow corner rows to 3 fat
+    brick rows. Gated ≈bit-level against `composite` in
+    tests/test_compositor.py.
+    """
+    eyedir = jnp.asarray(eyedir, jnp.float32)
+    norm = eyedir.at[..., 1].set(jnp.maximum(0.0, eyedir[..., 1]))
+    n_len = jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    norm = jnp.where(
+        n_len > 0.0, norm / jnp.maximum(n_len, 1e-12),
+        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+    )
+    clouds = _fetch_clamp(cloud_blended, world_dir_to_uv(norm))
+    background = get_atmo(
+        eyedir, sky_blended, None, tlut, 0.0, sun_dir, sun_disk_scale
+    )
+    color = background * (1.0 - clouds[..., 3:4]) + clouds[..., :3]
+    fade = m.smoothstep(0.6, 1.0, 1.0 - eyedir[..., 1])[..., None]
+    c = jnp.clip(color, 0.0, 100.0)
+    b = jnp.clip(background, 0.0, 100.0)
+    out = c + (b - c) * fade
+    if deband:
+        out = jnp.maximum(out + deband_dither(eyedir.shape[:-1])[..., None], 0.0)
+    return out
 
 
 def deband_dither(shape):

@@ -1,4 +1,18 @@
-"""Per-cycle baked density field: the round-2 performance centerpiece.
+"""Per-cycle baked density field — a DOCUMENTED MEASURED NEGATIVE.
+
+STATUS (round 2): baking the pre-erosion density onto a warped world grid
+cannot match the exact march at the 40 dB gate at ANY feasible resolution —
+image PSNR saturates at ~22/25/28 dB for (16,256²)/(24,384²)/(32,512²)
+grids (docs/PERF_NOTES.md "round 2 negative results"). The reason is
+structural: the gate compares against the exact march's own point samples,
+whose ~100 m noise features at up-to-220 km distance would need
+~feature-size grid cells (≈14,000² per shell layer) to reproduce. The SMOOTH
+half of the idea — the cone-integrated light density — is what bakes well,
+and shipped as the v2 march's ConeCache (march_fast.build_cone_cache).
+
+This module is kept as the reproducible experiment behind that conclusion
+(plus `occupied_ray_fraction`, a useful capacity-sizing diagnostic).
+`march_baked` works and is tested, at its measured quality band.
 
 `MarchParams` is frozen for a whole amortized cycle (FrameData snapshot
 semantics, `cloud_sky.gd:165-187`), so everything the march reads from the

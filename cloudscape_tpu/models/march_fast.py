@@ -755,8 +755,31 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
             unique_indices=True,
         )[:total].reshape(n, steps)
 
-    t = scatter_back(t_e)
-    cd = scatter_back(cd_e)
+    def no_overflow(_):
+        return scatter_back(t_e), scatter_back(cd_e)
+
+    def with_fallback(_):
+        # Capacity overflow: the occupied samples that didn't fit get a
+        # graceful ALU-only fallback instead of rendering as holes — the
+        # erosion remap evaluated at the detail noise's MEAN (hfbm = 0.5
+        # makes the height blend a fixed 0.5 too), and no sun term (cd
+        # stays 0 → beers_total = 0). Keeps cloud bodies/alpha plausible
+        # under any occupancy; exactness is restored by sizing capacity
+        # (see select_capacity_frac / occupied_sample_fraction).
+        t0 = scatter_back(t_e)
+        cd0 = scatter_back(cd_e)
+        rank = jnp.cumsum(occupied.reshape(-1).astype(jnp.int32)) - 1
+        covered = (occupied.reshape(-1) & (rank < capacity)).reshape(n, steps)
+        base_fb = m.remap(pre, 0.5 * 0.4 * hf, 1.0, 0.0, 1.0)
+        t_fb = jnp.power(jnp.clip(base_fb, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5)
+        t_mix = jnp.where(covered, t0, jnp.where(occupied, t_fb, 0.0))
+        return t_mix, cd0
+
+    # The fallback branch is compiled but only EXECUTES on overflow (cond is
+    # a scalar branch, not a select) — zero steady-state cost when capacity
+    # covers the scene.
+    n_occ = jnp.sum(occupied)
+    t, cd = jax.lax.cond(n_occ <= capacity, no_overflow, with_fallback, None)
 
     # ---- Phase 3 (dense elementwise): identical to `_march_core`.
     dt = jnp.exp(-params.density * t * ss[:, None])
@@ -778,6 +801,41 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
 
     out = jnp.concatenate([L, alpha[..., None]], axis=-1)
     return jnp.where(above[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("steps", "stride"))
+def occupied_sample_fraction(dirs, params: MarchParams, bp: BrickPack,
+                             steps: int = 16, stride: int = 8):
+    """Cheap estimate of the `pre > 0` (ray·step) occupancy — the quantity
+    that sizes `_march_core2`'s compacted capacity. Probes every `stride`-th
+    ray at `steps` coarse samples (≈ n/stride·steps·2 gather rows). Call once
+    per cycle / scene and feed `select_capacity_frac`."""
+    flat = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)[::stride]
+    above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    tt = ss[:, None] * i_step[None, :]
+    px = p0[:, 0, None] + ndir[:, 0, None] * tt
+    py = p0[:, 1, None] + ndir[:, 1, None] * tt
+    pz = p0[:, 2, None] + ndir[:, 2, None] * tt
+    weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+    pre, _ = _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+    return jnp.mean(((pre > 0.0) & above[:, None]).astype(jnp.float32))
+
+
+CAPACITY_BUCKETS = (0.15, 0.25, 0.35, 0.5)
+
+
+def select_capacity_frac(occupied_frac: float, margin: float = 1.5,
+                         buckets=CAPACITY_BUCKETS) -> float:
+    """Smallest capacity bucket ≥ margin × measured occupancy (static jit
+    argument → at most len(buckets) executables). Above the last bucket,
+    returns 0.5 — `_march_core2`'s overflow fallback degrades gracefully
+    (ALU-only density, no sun term for the excess samples)."""
+    need = occupied_frac * margin
+    for b in buckets:
+        if need <= b:
+            return b
+    return buckets[-1]
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",

@@ -61,6 +61,7 @@ class BrickTable2D:
     stride: Tuple[int, int] = _static_field(default=(7, 7))
     grid: Tuple[int, int] = _static_field(default=(0, 0))
     channels: int = _static_field(default=2)
+    wrap: str = _static_field(default="repeat")  # "repeat" | "clamp"
 
 
 @jax.tree_util.register_dataclass
@@ -195,6 +196,34 @@ def build_brick3_device(volume, brick=(4, 4, 4), stride=(3, 3, 3),
     )
 
 
+def build_brick2_device(image, brick=(8, 8), stride=(7, 7),
+                        wrap: str = "repeat") -> "BrickTable2D":
+    """Device-side 2D brick packing (jnp gathers — no host round trip).
+
+    Used for per-frame dynamic tables (e.g. the display path's pre-blended
+    cloud map): a 768² rebrick is ~11k gather rows — trivial next to the
+    per-pixel fetches it converts from 4 narrow corner gathers to 1 fat row.
+    """
+    h, w, c = image.shape
+    by, bx = brick
+    sy, sx = stride
+    assert sy <= by - 1 and sx <= bx - 1
+    ny, nx = _cdiv(h, sy), _cdiv(w, sx)
+
+    def idx(n_bricks, s, b, n):
+        i = jnp.arange(n_bricks)[:, None] * s + jnp.arange(b)[None, :]
+        return jnp.clip(i, 0, n - 1) if wrap == "clamp" else jnp.remainder(i, n)
+
+    yy = idx(ny, sy, by, h)
+    xx = idx(nx, sx, bx, w)
+    bricks = image[yy[:, None, :, None], xx[None, :, None, :]]
+    lanes = bricks.transpose(0, 1, 4, 2, 3).reshape(ny * nx, c * by * bx)
+    return BrickTable2D(
+        table=lanes, dims=(h, w), brick=brick, stride=stride,
+        grid=(ny, nx), channels=c, wrap=wrap,
+    )
+
+
 def _axis_weight(lane_idx, local0, frac, length):
     """[..., L] weights for one axis: (1-f) at local0, f at local0+1."""
     l0 = local0[..., None]
@@ -257,8 +286,8 @@ def sample_brick2_xy(bt: BrickTable2D, qu, qv):
     sy, sx = bt.stride
     ny, nx = bt.grid
 
-    ix0, fx = _axis_coords(qu, w)
-    iy0, fy = _axis_coords(qv, h)
+    ix0, fx = _axis_coords(qu, w, bt.wrap)
+    iy0, fy = _axis_coords(qv, h, bt.wrap)
     gx, lx = ix0 // sx, ix0 % sx
     gy, ly = iy0 // sy, iy0 % sy
     fb = gy * nx + gx

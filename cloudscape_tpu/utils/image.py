@@ -27,6 +27,24 @@ def tonemap_aces(x, white: float = 3.53):
     return np.clip(f(x) / f(white), 0.0, 1.0)
 
 
+def srgb_encode(x):
+    """Linear → sRGB OETF (Godot converts to sRGB after tonemapping when
+    rendering to an 8-bit swapchain; previews must do the same or they come
+    out ~2.2-gamma too dark)."""
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+    return np.where(x <= 0.0031308, 12.92 * x,
+                    1.055 * np.power(x, 1.0 / 2.4) - 0.055)
+
+
+def display_encode(img, white: float = 3.53):
+    """The reference demo's display chain for an HDR linear frame:
+    ACES tonemap (tonemap_mode=3, tonemap_white=3.53,
+    `cloud_sky/cloud-demo.tscn:9-10`; Narkowicz fit as the ACES
+    approximation) followed by the sRGB OETF. No per-scene exposure —
+    the scene's Environment has none."""
+    return srgb_encode(tonemap_aces(img, white=white))
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     """Write a [H, W, 3] float image in [0,1] as PNG (zlib, no deps)."""
     import struct

@@ -13,10 +13,12 @@ import numpy as np
 
 
 SCENES = {
-    # name: (sun elevation deg, sun azimuth deg, coverage, exposure)
-    "clouds": (38.0, -25.0, 0.45, 2.2),
-    "dusk": (4.0, -95.0, 0.40, 3.2),
-    "sunset": (11.0, -60.0, 0.50, 2.6),
+    # name: (sun elevation deg, sun azimuth deg, coverage)
+    # Display chain = the reference scene's Environment (ACES white 3.53 +
+    # sRGB OETF, utils/image.display_encode) — NO per-scene exposure.
+    "clouds": (38.0, -25.0, 0.45),
+    "dusk": (4.0, -95.0, 0.40),
+    "sunset": (11.0, -60.0, 0.50),
 }
 
 
@@ -39,7 +41,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from cloudscape_tpu import CloudConfig, CloudSkyEngine, PerfConfig, SunState
-    from cloudscape_tpu.utils.image import tonemap_aces, write_png
+    from cloudscape_tpu.utils.image import display_encode, write_png
 
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,7 +49,7 @@ def main() -> None:
 
     os.makedirs(args.out, exist_ok=True)
 
-    for name, (elev, azim, coverage, exposure) in SCENES.items():
+    for name, (elev, azim, coverage) in SCENES.items():
         e, a = np.radians(elev), np.radians(azim)
         # Face the sun azimuth (low-sun scenes want the warm horizon in frame).
         eyedirs = jnp.asarray(
@@ -65,9 +67,9 @@ def main() -> None:
             sun=SunState(direction=tuple(sun)),
         )
         engine.update_cycle(now=0.0)
-        img = np.asarray(engine.render_view(eyedirs))
+        img = np.asarray(engine.render_view(eyedirs, deband=True))
         path = os.path.join(args.out, f"{name}.png")
-        write_png(path, tonemap_aces(img * exposure))
+        write_png(path, display_encode(img))
         print(f"{name}: sun elev {elev}° → {path}")
 
 

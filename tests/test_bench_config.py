@@ -1,11 +1,13 @@
 """PSNR gate for the shipped benchmark configuration (VERDICT r1 weak #2).
 
-bench.py times `march_bricks` at capacity_frac=0.08, where compaction
-overflow silently drops the sun term of excess samples. This gate runs the
-same knob RATIOS at CPU scale — chunk chosen so the capacity fraction binds
-exactly as it does at 1024×512×128 — against the exact (compact=False) march,
-on the bench scene AND a high-coverage variant, so a quality regression in
-the shipped number can never go unnoticed. bench.py cites this test.
+bench.py times `march_bricks_v2` with scene-adaptive capacity
+(select_capacity_frac of the measured pre>0 occupancy) and a (32,512,512)
+cone cache; compaction overflow degrades via the in-kernel fallback. This
+gate runs the same knob RATIOS and the same capacity policy at CPU scale — chunk chosen so the capacity
+fraction binds exactly as it does at 1024×512×128 — against the exact
+(compact, non-staged) march, on the bench scene AND a high-coverage variant,
+so a quality regression in the shipped number can never go unnoticed.
+bench.py cites this test.
 """
 
 import numpy as np
@@ -14,13 +16,15 @@ import pytest
 
 from cloudscape_tpu.models import atmosphere
 from cloudscape_tpu.models.density import MarchParams
-from cloudscape_tpu.models.march_fast import BrickPack, march_bricks
+from cloudscape_tpu.models.march_fast import (
+    BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
+    occupied_sample_fraction, select_capacity_frac,
+)
 from cloudscape_tpu.models.packs import make_noise_pack
 from cloudscape_tpu.utils.image import psnr
 
 # Keep in sync with bench.py.
-BENCH_CAPACITY_FRAC = 0.08
-BENCH_T_CUTOFF = 1e-4
+BENCH_CONE_RES = (32, 512, 512)
 STEPS = 64          # scaled from 128; active-sample fraction is preserved
 WIDTH, HEIGHT = 128, 64
 
@@ -59,17 +63,21 @@ def _gate(bp, slut, sun, coverage):
         ground_color=np.array([0.27, 0.19, 0.027]),
     )
     dirs = bench_dirs()
+    # The bench's own adaptive-capacity policy, at the same knob ratios.
+    cap = select_capacity_frac(
+        float(occupied_sample_fraction(dirs, params, bp))
+    )
     # chunk small enough that capacity = frac·total (as at bench scale).
     chunk = 512
-    assert int(WIDTH * HEIGHT * STEPS * BENCH_CAPACITY_FRAC) > chunk
+    assert int(WIDTH * HEIGHT * STEPS * cap) > chunk
     exact = np.asarray(
         march_bricks(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
-                     compact=False)
+                     capacity_frac=0.5)
     )
+    cone = build_cone_cache(params, bp, 6, res=BENCH_CONE_RES, chunk=16384)
     got = np.asarray(
-        march_bricks(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
-                     capacity_frac=BENCH_CAPACITY_FRAC,
-                     t_cutoff=BENCH_T_CUTOFF)
+        march_bricks_v2(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
+                        capacity_frac=cap, cone_cache=cone)
     )
     assert (exact[..., 3] > 0.1).mean() > 0.02, "scene rendered no clouds"
     return psnr(got, exact)

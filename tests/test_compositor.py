@@ -119,3 +119,30 @@ def test_composite_deband_flag(fixtures):
     on = np.asarray(composite(*args, deband=True))
     assert np.abs(on - base).max() <= 0.5 / 255.0 + 1e-7
     assert (on != base).any()
+
+
+def test_composite_display_matches_composite(fixtures):
+    """The serving-path composite (pre-blended + rebricked textures, 3 fat
+    rows/pixel) must match `composite` to fp-reassociation level."""
+    from cloudscape_tpu.models.compositor import composite_display
+    from cloudscape_tpu.ops.brick import build_brick2_device
+
+    cloud_from, cloud_to, sky_from, sky_to, tlut, sun = fixtures
+    d = _viewdirs(64 * 32).reshape(32, 64, 3)
+    blend = 0.40625
+    want = np.asarray(composite(
+        jnp.asarray(d, jnp.float32), jnp.asarray(cloud_from),
+        jnp.asarray(cloud_to), jnp.asarray(sky_from), jnp.asarray(sky_to),
+        jnp.asarray(tlut), jnp.float32(blend),
+        jnp.asarray(sun, jnp.float32), jnp.float32(2.0)))
+    cb = build_brick2_device(
+        jnp.asarray(cloud_from + (cloud_to - cloud_from) * blend),
+        (4, 8), (3, 7), wrap="clamp")
+    sb = build_brick2_device(
+        jnp.asarray(sky_from + (sky_to - sky_from) * blend),
+        (4, 8), (3, 7), wrap="clamp")
+    tb = build_brick2_device(jnp.asarray(tlut), (4, 8), (3, 7), wrap="clamp")
+    got = np.asarray(composite_display(
+        jnp.asarray(d, jnp.float32), cb, sb, tb,
+        jnp.asarray(sun, jnp.float32), jnp.float32(2.0)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

@@ -359,3 +359,49 @@ def test_restore_before_first_tick_warm_starts(tmp_path, tiny_noise):
     e3 = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise)
     e3.load_file(path2)
     assert not e3.needs_full_sky_init
+
+
+def test_fast2_kernel_matches_fast(tiny_noise):
+    """The fast2 (staged + cone-cache) engine mode tracks the exact fast
+    mode within the documented gate on a full warm-started sky."""
+    from cloudscape_tpu.utils.image import psnr
+
+    kw = dict(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
+              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise)
+    e1 = CloudSkyEngine(kernel="fast", **kw)
+    e2 = CloudSkyEngine(kernel="fast2", cone_res=(16, 128, 128), **kw)
+    for e in (e1, e2):
+        e.update_sky(now=0.0)
+    a = np.asarray(e1.cloud_ring)
+    b = np.asarray(e2.cloud_ring)
+    assert np.isfinite(b).all()
+    p = psnr(b, a)
+    assert p > 35.0, f"fast2 vs fast PSNR {p:.1f} dB"  # tiny cone grid
+
+
+def test_render_frame_fused_matches_split(tiny_noise):
+    """The single-dispatch fused render_frame must be bit-identical to the
+    split update_sky + render_view path, frame after frame."""
+    kw = dict(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
+              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise)
+    gx, gy = np.meshgrid(np.linspace(-0.4, 0.4, 8),
+                         np.linspace(0.1, 0.8, 6), indexing="xy")
+    d = np.stack([gx, gy, np.ones((6, 8))], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    e_fused = CloudSkyEngine(kernel="fast", **kw)
+    e_split = CloudSkyEngine(kernel="fast", **kw)
+    for i in range(3):
+        f = np.asarray(e_fused.render_frame(d, now=i / 60.0, fused=True))
+        e_split.update_sky(now=i / 60.0)
+        g = np.asarray(e_split.render_view(d))
+        # The fused path pre-blends + rebricks the display textures (blend
+        # commutes with the bilinear fetch up to fp reassociation) — equal
+        # to a few ulps, bit-identical on the ring itself.
+        np.testing.assert_allclose(f, g, atol=2e-5, rtol=1e-5,
+                                   err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            np.asarray(e_fused.cloud_ring), np.asarray(e_split.cloud_ring),
+            err_msg=f"ring {i}",
+        )

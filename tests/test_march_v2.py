@@ -125,10 +125,11 @@ def test_sparse_cone_build_equals_dense(setup):
     assert np.abs(img_d - img_s).max() < 1e-2
 
 
-def test_v2_capacity_overflow_is_finite_and_conservative(setup):
-    """Overflow of the shared erosion/cone list zeroes whole samples — the
-    output must stay finite and alpha can only DECREASE vs the un-overflowed
-    render (clouds fade, never corrupt)."""
+def test_v2_capacity_overflow_degrades_gracefully(setup):
+    """Overflowed samples take the in-kernel fallback (ALU-only mean-erosion
+    density, no sun term) instead of rendering as holes: output stays
+    finite, visibly cloud-like (alpha mass preserved within a band), and
+    differs from the exact render (overflow actually exercised)."""
     bp, slut, params, dirs, _, _ = setup
     ok = np.asarray(
         march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=256,
@@ -139,8 +140,11 @@ def test_v2_capacity_overflow_is_finite_and_conservative(setup):
                         capacity_frac=0.01, cone_res=(16, 128, 128))
     )
     assert np.isfinite(tiny).all()
-    assert (tiny[..., 3] <= ok[..., 3] + 1e-6).all()
-    assert tiny[..., 3].sum() < ok[..., 3].sum()  # overflow actually occurred
+    assert not np.array_equal(tiny, ok)  # overflow actually occurred
+    ratio = tiny[..., 3].sum() / max(ok[..., 3].sum(), 1e-9)
+    assert 0.5 < ratio < 1.5, f"fallback alpha mass off ({ratio:.2f}×)"
+    p = psnr(tiny, ok)
+    assert p > 15.0, f"fallback render too degraded ({p:.1f} dB)"
 
 
 def test_compact_indices_matches_nonzero():
