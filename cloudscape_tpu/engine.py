@@ -59,6 +59,25 @@ def _build_cone_jit(params, bricks, *, light_steps: int, res):
     return _cone_builder(light_steps, tuple(res))(params, bricks)
 
 
+@functools.lru_cache(maxsize=8)
+def cubemap_directions(size: int):
+    """[6, size, size, 3] unit directions, GL cubemap face convention."""
+    t = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+    u, v = np.meshgrid(t, t, indexing="xy")
+    one = np.ones_like(u)
+    faces = [
+        np.stack([one, -v, -u], -1),   # +X
+        np.stack([-one, -v, u], -1),   # -X
+        np.stack([u, one, v], -1),     # +Y
+        np.stack([u, -one, -v], -1),   # -Y
+        np.stack([u, -v, one], -1),    # +Z
+        np.stack([-u, -v, -one], -1),  # -Z
+    ]
+    d = np.stack(faces)
+    return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                       jnp.float32)
+
+
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
@@ -567,6 +586,15 @@ class CloudSkyEngine:
             jnp.float32(self.config.sun_disk_scale),
             deband=deband,
         )
+
+    def render_radiance_map(self, size: int = 32) -> jax.Array:
+        """Environment-probe render — the analog of the Sky resource's
+        radiance cubemap (`cloud_sky/clouds_sky.tres:8` `radiance_size = 1`,
+        Godot's RADIANCE_SIZE_32): the current sky composited over a 6-face
+        cubemap so scene reflections can sample it. Face order/orientation
+        follows the GL cubemap convention (+X, -X, +Y, -Y, +Z, -Z).
+        Returns [6, size, size, 3] linear HDR."""
+        return self.render_view(cubemap_directions(size))
 
     def render_frame(self, eyedirs, now: Optional[float] = None,
                      amortized: bool = True, fused: Optional[bool] = None,

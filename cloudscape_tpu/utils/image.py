@@ -27,6 +27,18 @@ def tonemap_aces(x, white: float = 3.53):
     return np.clip(f(x) / f(white), 0.0, 1.0)
 
 
+def downsample2x(img: np.ndarray) -> np.ndarray:
+    """2×2 box downsample of an [H, W, C] frame — the SSAA pattern for this
+    engine (a pure ray renderer has no geometry edges for MSAA; the demo
+    scene's `project.godot` MSAA maps to: render the view grid at 2× and
+    box-filter down)."""
+    img = np.asarray(img)
+    h, w = img.shape[0] & ~1, img.shape[1] & ~1
+    img = img[:h, :w]
+    return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                   + img[0::2, 1::2] + img[1::2, 1::2])
+
+
 def srgb_encode(x):
     """Linear → sRGB OETF (Godot converts to sRGB after tonemapping when
     rendering to an 8-bit swapchain; previews must do the same or they come

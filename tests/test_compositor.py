@@ -146,3 +146,16 @@ def test_composite_display_matches_composite(fixtures):
         jnp.asarray(d, jnp.float32), cb, sb, tb,
         jnp.asarray(sun, jnp.float32), jnp.float32(2.0)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_downsample2x_box():
+    from cloudscape_tpu.utils.image import downsample2x
+
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    out = downsample2x(img)
+    assert out.shape == (2, 3, 3)
+    np.testing.assert_allclose(
+        out[0, 0], img[0:2, 0:2].mean(axis=(0, 1)), rtol=1e-6
+    )
+    # mean-preserving on even-sized frames
+    np.testing.assert_allclose(out.mean(), img.mean(), rtol=1e-6)

@@ -405,3 +405,20 @@ def test_render_frame_fused_matches_split(tiny_noise):
             np.asarray(e_fused.cloud_ring), np.asarray(e_split.cloud_ring),
             err_msg=f"ring {i}",
         )
+
+
+def test_render_radiance_map(engine):
+    """Environment-probe output (`clouds_sky.tres:8` radiance_size analog):
+    6-face cubemap, finite, sky-colored above the horizon."""
+    engine.update_sky(now=0.0)
+    rad = np.asarray(engine.render_radiance_map(size=8))
+    assert rad.shape == (6, 8, 8, 3)
+    assert np.isfinite(rad).all()
+    assert (rad >= 0).all()
+    # +Y (up) face must be sky, not black.
+    assert rad[2].mean() > 1e-4
+    from cloudscape_tpu.engine import cubemap_directions
+
+    d = np.asarray(cubemap_directions(8))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+    assert (d[2][..., 1] > 0).all() and (d[3][..., 1] < 0).all()
