@@ -672,18 +672,22 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
     i_node = jnp.arange(n_nodes, dtype=jnp.float32) * K  # i-1 of each node
 
-    # ---- Phase 1 (dense, chunked): pre + hf, one large row per sample.
-    def dense_chunk(args):
+    # ---- Phase 1 (dense, chunked): pre + hf. TWO single-gather-stream
+    # passes: interleaving the weather and large-noise gathers in one fused
+    # loop runs at ~7 ns/row, while each stream alone runs at ~3.5 ns/row
+    # (968 vs 232+227 ms at 67M samples, docs/PERF_NOTES.md round 2) — the
+    # materialized weather values (two [n, steps] f32 planes; never a
+    # 2-lane minor dim) cost ~1 GB of sequential traffic, 100× cheaper.
+    def weather_chunk(args):
         p0c, ndirc, ssc = args
-        tt = ssc[:, None] * i_step[None, :]
-        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
-        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
-        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
         if K == 1:
-            weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+            tt = ssc[:, None] * i_step[None, :]
+            wx = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+            wz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+            w = _weather_rb_xy(bp, wx, wz, params.weather_pos)
         else:
             # Weather nodes (uv linear in t → lerp error is bilinear-kink
-            # scale only; borderline at K=2, see tests).
+            # scale only; documented loss, see tests).
             tt_n = ssc[:, None] * (i_node[None, :] + 1.0)
             wx = p0c[:, 0, None] + ndirc[:, 0, None] * tt_n
             wz = p0c[:, 2, None] + ndirc[:, 2, None] * tt_n
@@ -691,9 +695,16 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
             fr = (jnp.arange(K, dtype=jnp.float32) / K)[None, None, :, None]
             w0 = w_nodes[:, :-1, None, :]
             w1 = w_nodes[:, 1:, None, :]
-            weather = (w0 + (w1 - w0) * fr).reshape(
-                w_nodes.shape[0], steps, 2
-            )
+            w = (w0 + (w1 - w0) * fr).reshape(w_nodes.shape[0], steps, 2)
+        return w[..., 0], w[..., 1]
+
+    def pre_chunk(args):
+        p0c, ndirc, ssc, wrc, wbc = args
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        weather = jnp.stack([wrc, wbc], axis=-1)
         return _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
 
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -702,7 +713,8 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         _pad_blocks(ndir, chunk, up),
         _pad_blocks(ss, chunk, jnp.float32(1.0)),
     )
-    pre, hf = jax.lax.map(dense_chunk, blocks)
+    w_r, w_b = jax.lax.map(weather_chunk, blocks)
+    pre, hf = jax.lax.map(pre_chunk, blocks + (w_r, w_b))
     pre = pre.reshape(-1, steps)[:n]
     hf = hf.reshape(-1, steps)[:n]
 
@@ -732,19 +744,25 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     hf_e = m.height_fraction(jnp.sqrt(epx * epx + epy * epy + epz * epz),
                              SKY_B_RADIUS, SKY_T_RADIUS)
 
-    def staged_chunk(blk):
+    # Two single-stream passes here as well (erosion row, then cone row) —
+    # same interleaved-gather penalty as the dense phase.
+    def erosion_chunk(blk):
         bpre, bhf, bx, by_, bz = blk
-        t_blk = _density_finish_xyz(bpre, bhf, bx, by_, bz, 0.0, params, bp)
+        return _density_finish_xyz(bpre, bhf, bx, by_, bz, 0.0, params, bp)
+
+    def cone_chunk(blk):
+        bx, by_, bz, bt = blk
         qx, qz, qh = _cone_cache_coords_xyz(bx, by_, bz, cone_cache.extent)
         cd_blk = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
-        return t_blk, jnp.where(t_blk > 0.0, cd_blk, 0.0)
+        return jnp.where(bt > 0.0, cd_blk, 0.0)
 
-    t_e, cd_e = jax.lax.map(
-        staged_chunk,
-        (pre_e.reshape(-1, chunk), hf_e.reshape(-1, chunk),
-         epx.reshape(-1, chunk), epy.reshape(-1, chunk),
-         epz.reshape(-1, chunk)),
+    exc = (epx.reshape(-1, chunk), epy.reshape(-1, chunk),
+           epz.reshape(-1, chunk))
+    t_e = jax.lax.map(
+        erosion_chunk,
+        (pre_e.reshape(-1, chunk), hf_e.reshape(-1, chunk)) + exc,
     )
+    cd_e = jax.lax.map(cone_chunk, exc + (t_e,))
     # Two 1-D scatters (a packed [total, 2] scatter pads its 2-lane minor dim
     # to the 128-lane vreg tile — 64× write traffic, measured +3 s/frame).
     # Fill rows all target the discarded slot `total`, so sorted+unique flags
@@ -781,7 +799,10 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     n_occ = jnp.sum(occupied)
     t, cd = jax.lax.cond(n_occ <= capacity, no_overflow, with_fallback, None)
 
-    # ---- Phase 3 (dense elementwise): identical to `_march_core`.
+    # ---- Phase 3 (dense elementwise): same math as `_march_core`, computed
+    # in per-channel COMPONENT PLANES — [n, steps, 3] intermediates put a
+    # 3-lane minor dim on the (8, 128) vreg tile (~40× padded traffic,
+    # ~0.3 s/frame measured).
     dt = jnp.exp(-params.density * t * ss[:, None])
     t_prefix = jnp.concatenate(
         [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
@@ -790,16 +811,20 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
     beers_total = jnp.where(t > 0.0, 2.0 * beers * powder, 0.0)
 
-    ambient = atmosphere_ground + (atmosphere_ambient - atmosphere_ground) * \
-        m.smoothstep(0.0, 1.0, hf)[..., None]
-    radiance = (ambient + (beers_total * phase[:, None])[..., None] * atmosphere_sun) \
-        * t[..., None]
-    contrib = t_prefix[..., None] * (radiance - radiance * dt[..., None]) / \
-        jnp.maximum(1e-7, t)[..., None]
-    L = jnp.sum(contrib, axis=1)
+    sm = m.smoothstep(0.0, 1.0, hf)
+    bt_phase = beers_total * phase[:, None]
+    # contrib_c = t_prefix · radiance_c · (1 - dt) / max(t, eps); radiance_c
+    # = (ambient_c + bt_phase · sun_c) · t — shared factor hoisted.
+    shared = t_prefix * (1.0 - dt) * (t / jnp.maximum(1e-7, t))
+    L = []
+    for c in range(3):
+        ambient_c = atmosphere_ground[c] + \
+            (atmosphere_ambient[c] - atmosphere_ground[c]) * sm
+        L.append(jnp.sum(shared * (ambient_c + bt_phase * atmosphere_sun[c]),
+                         axis=1))
     alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
 
-    out = jnp.concatenate([L, alpha[..., None]], axis=-1)
+    out = jnp.stack([L[0], L[1], L[2], alpha], axis=-1)
     return jnp.where(above[..., None], out, 0.0)
 
 
