@@ -470,9 +470,13 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
     from cloudscape_tpu.ops.brick import build_brick3_device
 
     def chunked(fn, *arrays):
+        n_in = arrays[0].shape[0]
         blocks = tuple(_pad_blocks(a, chunk, a.reshape(-1)[-1])
                        for a in arrays)
-        return jax.lax.map(fn, blocks)
+        out = jax.lax.map(fn, blocks)
+        return jax.tree_util.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:])[:n_in], out
+        )
 
     if sparse_capacity_frac is None:
         cd = chunked(
@@ -480,7 +484,7 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
                                           light_offsets, distant_offset,
                                           light_steps),
             px, py, pz,
-        ).reshape(-1)[:n]
+        )
     else:
         pre = chunked(
             lambda blk: _density_pre_xyz(
@@ -488,7 +492,7 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
                 _weather_rb_xy(bp, blk[0], blk[2], params.weather_pos),
                 0.0, params, bp)[0],
             px, py, pz,
-        ).reshape(-1)[:n]
+        )
         occ = (pre > 0.0).reshape(nd, nh, nw)
         # One-cell dilation per axis (trilinear query footprint).
         for ax in range(3):
@@ -513,9 +517,9 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
                                           light_offsets, distant_offset,
                                           light_steps),
             cx, cy, cz,
-        ).reshape(-1)
+        )
         cd = jnp.zeros((n + 1,), jnp.float32).at[idx].set(
-            cd_c[:capacity], mode="drop", indices_are_sorted=True,
+            cd_c, mode="drop", indices_are_sorted=True,
             unique_indices=True,
         )[:n]
 
