@@ -806,30 +806,44 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     # ---- Phase 3 (dense elementwise): same math as `_march_core`, computed
     # in per-channel COMPONENT PLANES — [n, steps, 3] intermediates put a
     # 3-lane minor dim on the (8, 128) vreg tile (~40× padded traffic,
-    # ~0.3 s/frame measured).
-    dt = jnp.exp(-params.density * t * ss[:, None])
-    t_prefix = jnp.concatenate(
-        [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]], axis=1
-    )
-    beers = jnp.exp(-params.density * cd * lss * 3.0)
-    powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
-    beers_total = jnp.where(t > 0.0, 2.0 * beers * powder, 0.0)
+    # ~0.3 s/frame measured) — and CHUNKED through one lax.map so the ~20
+    # elementwise passes fuse into a single HBM sweep of the three input
+    # planes instead of ~20 full-size unfused loops.
+    def accum_chunk(args):
+        tc, cdc, hfc, ssc, phasec, abovec = args
+        dt = jnp.exp(-params.density * tc * ssc[:, None])
+        t_prefix = jnp.concatenate(
+            [jnp.ones_like(dt[:, :1]), jnp.cumprod(dt, axis=1)[:, :-1]],
+            axis=1,
+        )
+        beers = jnp.exp(-params.density * cdc * lss * 3.0)
+        powder = 1.0 - jnp.exp(-params.density * cdc * lss * 6.0)
+        beers_total = jnp.where(tc > 0.0, 2.0 * beers * powder, 0.0)
 
-    sm = m.smoothstep(0.0, 1.0, hf)
-    bt_phase = beers_total * phase[:, None]
-    # contrib_c = t_prefix · radiance_c · (1 - dt) / max(t, eps); radiance_c
-    # = (ambient_c + bt_phase · sun_c) · t — shared factor hoisted.
-    shared = t_prefix * (1.0 - dt) * (t / jnp.maximum(1e-7, t))
-    L = []
-    for c in range(3):
-        ambient_c = atmosphere_ground[c] + \
-            (atmosphere_ambient[c] - atmosphere_ground[c]) * sm
-        L.append(jnp.sum(shared * (ambient_c + bt_phase * atmosphere_sun[c]),
-                         axis=1))
-    alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+        sm = m.smoothstep(0.0, 1.0, hfc)
+        bt_phase = beers_total * phasec[:, None]
+        # contrib_c = t_prefix · radiance_c · (1 - dt) / max(t, eps);
+        # radiance_c = (ambient_c + bt_phase · sun_c) · t — hoisted.
+        shared = t_prefix * (1.0 - dt) * (tc / jnp.maximum(1e-7, tc))
+        L = []
+        for c in range(3):
+            ambient_c = atmosphere_ground[c] + \
+                (atmosphere_ambient[c] - atmosphere_ground[c]) * sm
+            L.append(jnp.sum(
+                shared * (ambient_c + bt_phase * atmosphere_sun[c]), axis=1))
+        alpha = jnp.clip(1.0 - jnp.prod(dt, axis=1), 0.0, 1.0)
+        out = jnp.stack([L[0], L[1], L[2], alpha], axis=-1)
+        return jnp.where(abovec[..., None], out, 0.0)
 
-    out = jnp.stack([L[0], L[1], L[2], alpha], axis=-1)
-    return jnp.where(above[..., None], out, 0.0)
+    out = jax.lax.map(accum_chunk, (
+        _pad_blocks(t, chunk, jnp.float32(0.0)),
+        _pad_blocks(cd, chunk, jnp.float32(0.0)),
+        _pad_blocks(hf, chunk, jnp.float32(0.0)),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+        _pad_blocks(phase, chunk, jnp.float32(0.0)),
+        _pad_blocks(above, chunk, jnp.bool_(False)),
+    ))
+    return out.reshape(-1, 4)[:n]
 
 
 @partial(jax.jit, static_argnames=("steps", "stride"))
@@ -851,7 +865,7 @@ def occupied_sample_fraction(dirs, params: MarchParams, bp: BrickPack,
     return jnp.mean(((pre > 0.0) & above[:, None]).astype(jnp.float32))
 
 
-CAPACITY_BUCKETS = (0.15, 0.25, 0.35, 0.5)
+CAPACITY_BUCKETS = (0.09, 0.12, 0.15, 0.2, 0.25, 0.35, 0.5)
 
 
 def select_capacity_frac(occupied_frac: float, margin: float = 1.5,
