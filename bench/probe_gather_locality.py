@@ -29,9 +29,13 @@ def bench(fn, args, reps=3):
 
 
 def main():
+    # One row-width per invocation (argv[1], default 128): the remote-compile
+    # helper makes fresh jit signatures expensive (20-60+ s each); this keeps
+    # it to 2 per run (make_dists + take).
     import jax
     import jax.numpy as jnp
 
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     n_rows = 327_680  # 40 MB at 128 lanes — the large-noise table scale
     n_idx = 8_388_608  # 8M gathers per pass
     reps_in_jit = 8  # dependent passes inside jit → amortize dispatch
@@ -53,39 +57,34 @@ def main():
         return {"iota": iota, "random": rand, "local512": local,
                 "sort128": sort128, "sorted": srt}
 
+    t0 = time.perf_counter()
     dists = jax.block_until_ready(make_dists())
-
-    def make_take(width):
-        table = jax.jit(
-            lambda k: jax.random.normal(k, (n_rows, width), jnp.float32)
-        )(k_tab)
-        jax.block_until_ready(table)
-
-        @jax.jit
-        def take(idx):
-            # 8 dependent passes: each gather's sum perturbs the next
-            # indices (prevents CSE), keeping one executable per width.
-            acc = jnp.float32(0.0)
-            for _ in range(reps_in_jit):
-                rows = jnp.take(table, idx, axis=0)
-                s = jnp.sum(rows[:, :1])
-                acc = acc + s
-                idx = jnp.abs(idx + (s.astype(jnp.int32) & 1)) % n_rows
-            return acc
-
-        return take
-
-    print(f"table {n_rows} rows, {n_idx} gathers x{reps_in_jit} in-jit")
+    print(f"dists built in {time.perf_counter() - t0:.1f}s")
     sys.stdout.flush()
-    for width in (128, 256, 512):
-        take = make_take(width)
-        for name, idx in dists.items():
-            dt = bench(take, (idx,))
-            per_row = dt / (n_idx * reps_in_jit) * 1e9
-            gbs = n_idx * reps_in_jit * width * 4 / dt / 1e9
-            print(f"w={width:4d} {name:8s}: {per_row:6.2f} ns/row  "
-                  f"{gbs:7.1f} GB/s")
-            sys.stdout.flush()
+
+    @jax.jit
+    def take(table, idx):
+        # 8 dependent passes: each gather's sum perturbs the next
+        # indices (prevents CSE).
+        acc = jnp.float32(0.0)
+        for _ in range(reps_in_jit):
+            rows = jnp.take(table, idx, axis=0)
+            s = jnp.sum(rows[:, :1])
+            acc = acc + s
+            idx = jnp.abs(idx + (s.astype(jnp.int32) & 1)) % n_rows
+        return acc
+
+    table = jax.block_until_ready(
+        jax.random.normal(k_tab, (n_rows, width), jnp.float32))
+    print(f"table {n_rows}x{width}, {n_idx} gathers x{reps_in_jit} in-jit")
+    sys.stdout.flush()
+    for name, idx in dists.items():
+        dt = bench(take, (table, idx))
+        per_row = dt / (n_idx * reps_in_jit) * 1e9
+        gbs = n_idx * reps_in_jit * width * 4 / dt / 1e9
+        print(f"w={width:4d} {name:8s}: {per_row:6.2f} ns/row  "
+              f"{gbs:7.1f} GB/s")
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
