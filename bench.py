@@ -90,7 +90,8 @@ def main() -> None:
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
         BrickPack, build_cone_cache, march_bricks_v2,
-        occupied_sample_fraction, select_capacity_frac,
+        occupied_sample_fraction, ray_keep_fraction,
+        select_capacity_frac, select_ray_keep_frac,
     )
     from cloudscape_tpu.models.packs import reference_noise_pack
 
@@ -113,11 +114,14 @@ def main() -> None:
     )
     dirs = jnp.asarray(hemisphere_dirs(WIDTH, HEIGHT))
 
-    # Scene-adaptive compaction capacity: measured pre>0 occupancy × 1.5
-    # margin, rounded up to a bucket (same policy the quality gate in
-    # tests/test_bench_config.py exercises). 0.078 → 0.15 on this scene.
+    # Scene-adaptive ray culling + compaction capacity (the same policy the
+    # quality gates in tests/test_march_v2.py / test_bench_config.py
+    # exercise): ray bucket from the prepass keep fraction; sample capacity
+    # from the pre>0 occupancy WITHIN kept rays × 1.5 margin.
+    keep = float(ray_keep_fraction(dirs, params, bricks, steps=STEPS))
+    ray_keep = select_ray_keep_frac(keep)
     occ = float(occupied_sample_fraction(dirs, params, bricks))
-    capacity_frac = select_capacity_frac(occ)
+    capacity_frac = select_capacity_frac(occ / max(ray_keep, 1e-6))
 
     # ---- Per-cycle cone-density cache (state, like the sky LUT).
     build = jax.jit(lambda p: build_cone_cache(p, bricks, 6, res=CONE_RES,
@@ -132,7 +136,8 @@ def main() -> None:
         lambda d, p, c: march_bricks_v2(d, p, bricks, sky, steps=STEPS,
                                         chunk=32768,
                                         capacity_frac=capacity_frac,
-                                        cone_cache=c)
+                                        cone_cache=c,
+                                        ray_keep_frac=ray_keep)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
     assert np.isfinite(out).all(), "benchmark render produced non-finite values"
@@ -190,6 +195,8 @@ def main() -> None:
                 "cone_build_ms": round(cone_ms, 1),
                 "capacity_frac": capacity_frac,
                 "occupied_frac": round(occ, 4),
+                "ray_keep_frac": ray_keep,
+                "ray_keep_measured": round(keep, 4),
                 "value_with_bake": round(ms + cone_ms, 1),
                 "per_tile_ms": round(per_tile_ms, 2),
                 "fps_equivalent": round(1000.0 / per_tile_ms, 1),

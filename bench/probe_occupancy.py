@@ -107,6 +107,28 @@ def main():
         seg = cand.reshape(cand.shape[0], steps // K, K).any(axis=2)
         print(f"K={K:2d}: P(segment has candidate) = {seg.mean():.4f}")
 
+    # ---- RAY-level stats (ceiling for whole-ray culling: a skipped ray
+    # costs per-RAY machinery only — the [n, steps] planes make ray
+    # gather/scatter a 128-lane-row op).
+    ray_occ = occupied.any(axis=1)
+    ray_cand = cand.any(axis=1)
+    print(f"P(ray has occupied sample)  = {ray_occ.mean():.4f}")
+    print(f"P(ray has noise-candidate)  = {ray_cand.mean():.4f}")
+    # Conservative ray bound quality: rays kept by cand but actually empty.
+    print(f"P(cand-kept ray is empty)   = "
+          f"{(ray_cand & ~ray_occ).mean():.4f}")
+    # Coarse prepass ceiling: a 16-point subsampled EXACT pre>0 probe
+    # (not conservative — measures how much a point-sampled prepass misses).
+    for C in (8, 16, 32):
+        sub = occupied[:, ::steps // C]
+        rs = sub.any(axis=1)
+        miss_r = (ray_occ & ~rs)
+        # severity: occupied samples on missed rays / all occupied samples
+        sev = occupied[miss_r].sum() / max(occupied.sum(), 1)
+        print(f"coarse{C:3d}-pt exact prepass: keeps {rs.mean():.4f} of rays,"
+              f" misses {miss_r.mean():.4f} of rays"
+              f" ({sev:.5f} of occupied samples)")
+
     # ---- Inverted staging: weather-only predicate for the LARGE fetch.
     # pre > 0 ⟺ base·g > 1−wc with base ≤ b_ub (global, monotone in
     # (r↑, fbm↓) so the per-texel extremes bound every trilinear sample).
@@ -160,10 +182,60 @@ def main():
         print(f"maxmip {ncells}x{ncells}: P(cand) = {cand2.mean():.4f}  "
               f"occupied&!cand = {miss2.mean():.6f}")
 
-    # Cutoff interaction: of occupied samples, how many sit behind saturated
-    # transmittance (t_prefix <= 1e-4)?
-    # (needs full t; approximate with pre-as-t upper bound: dt_ub uses
-    # eroded t <= pre-shaped value; skip — report plain numbers only.)
+    # ---- 1-row prepass variant: at C subsampled points, noise fetch +
+    # gather-free weather maxmip bound (8×8). Ray keep rate + miss severity.
+    ncells = 8
+    cs = H // ncells
+    bm = np.zeros((ncells, ncells), np.float32)
+    for cy in range(ncells):
+        for cx in range(ncells):
+            ys = (np.arange(cy * cs - 1, (cy + 1) * cs + 1)) % H
+            xs = (np.arange(cx * cs - 1, (cx + 1) * cs + 1)) % H
+            bm[cy, cx] = b[np.ix_(ys, xs)].max()
+    cu = (np.floor(ux * ncells) % ncells).astype(int)
+    cv = (np.floor(uz * ncells) % ncells).astype(int)
+    mm_cand = np.asarray(
+        base * g_ub > 1.0 - params.cloud_coverage * bm[cv, cu]
+    ) & np.asarray(above[:, None])
+    for C in (16, 32):
+        sub = mm_cand[:, :: steps // C]
+        rs = sub.any(axis=1)
+        miss_r = ray_occ & ~rs
+        sev = occupied[miss_r].sum() / max(occupied.sum(), 1)
+        print(f"1-row maxmip prepass C={C}: keeps {rs.mean():.4f} of rays,"
+              f" misses {miss_r.mean():.4f} of occupied rays"
+              f" ({sev:.5f} of occupied samples)")
+
+    # ---- Conservativeness guards for the exact coarse prepass:
+    # (a) value margin: keep if any prepass sample has pre > -m (pre is
+    #     pre-clamp remap — recompute unclamped margin form: keep if
+    #     base·g > 1-wc-m at any coarse point);
+    # (b) 3×3 image-space dilation of the keep mask.
+    g_w = m.density_height_gradient(hf, weather[..., 0])
+    wc_s = params.cloud_coverage * weather[..., 1]
+    margin_val = np.asarray(base * g_w - (1.0 - wc_s))  # >0 ⟺ pre>0
+    for C in (16, 32):
+        sl = slice(None, None, steps // C)
+        for mg in (0.0, 0.01, 0.02, 0.05, 0.1):
+            rs = (margin_val[:, sl] > -mg).any(axis=1) \
+                & np.asarray(above[:, None]).any(axis=1)
+            miss_r = ray_occ & ~rs
+            sev = occupied[miss_r].sum() / max(occupied.sum(), 1)
+            print(f"margin prepass C={C} m={mg:4.2f}: keeps {rs.mean():.4f},"
+                  f" misses {miss_r.mean():.5f} of rays"
+                  f" ({sev:.6f} of occ samples)")
+    # (b) needs the 2-D ray grid: rays here are a [64, 64] subgrid.
+    import scipy.ndimage as ndi  # noqa: available? fall back to manual
+    ks = (steps // 32)
+    rs0 = (margin_val[:, ::ks] > 0.0).any(axis=1).reshape(64, 64)
+    rs_d = np.zeros_like(rs0)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            rs_d |= np.roll(np.roll(rs0, dy, 0), dx, 1)
+    miss_r = ray_occ & ~rs_d.reshape(-1)
+    sev = occupied[miss_r].sum() / max(occupied.sum(), 1)
+    print(f"3x3-dilated exact prepass C=32: keeps {rs_d.mean():.4f},"
+          f" misses {miss_r.mean():.5f} ({sev:.6f} of occ samples)")
 
 
 if __name__ == "__main__":

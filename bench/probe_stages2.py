@@ -57,16 +57,28 @@ def main():
             _pad_blocks(ss, CHUNK, jnp.float32(1.0)),
         )
 
-        def dense_chunk(args):
+        # Two single-stream passes, matching _march_core2 (K=1).
+        def weather_chunk(args):
             p0c, ndirc, ssc = args
+            tt = ssc[:, None] * i_step[None, :]
+            wx = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+            wz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+            w = _weather_rb_xy(bp, wx, wz, params.weather_pos)
+            return w[..., 0], w[..., 1]
+
+        def pre_chunk(args):
+            p0c, ndirc, ssc, wrc, wbc = args
             tt = ssc[:, None] * i_step[None, :]
             px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
             py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
             pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
-            weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
+            weather = jnp.stack([wrc, wbc], axis=-1)
             return _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
 
-        pre, hf = jax.lax.map(dense_chunk, blocks)
+        w_r, w_b = jax.lax.map(weather_chunk, blocks)
+        if upto == "weather":
+            return w_r.sum() + w_b.sum()
+        pre, hf = jax.lax.map(pre_chunk, blocks + (w_r, w_b))
         pre = pre.reshape(-1, STEPS)[:n]
         hf = hf.reshape(-1, STEPS)[:n]
         if upto == "dense":

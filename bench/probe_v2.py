@@ -38,6 +38,8 @@ def main():
         else (32, 512, 512)
     cap = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
     do_exact = "--exact" in sys.argv
+    do_cull = "--cull" in sys.argv
+    do_vs_uncull = "--vs-uncull" in sys.argv
 
     noise = reference_noise_pack()
     bp = BrickPack.from_noise(noise)
@@ -63,9 +65,24 @@ def main():
     print(f"cone build steady ({cone_res}): {time.perf_counter()-t0*1:.2f}s",
           flush=True)
 
+    ray_keep = None
+    if do_cull:
+        from cloudscape_tpu.models.march_fast import (
+            occupied_sample_fraction, ray_keep_fraction,
+            select_capacity_frac, select_ray_keep_frac,
+        )
+
+        t0 = time.perf_counter()
+        kf = float(ray_keep_fraction(dirs, params, bp, steps=steps))
+        occ = float(occupied_sample_fraction(dirs, params, bp))
+        ray_keep = select_ray_keep_frac(kf)
+        cap = select_capacity_frac(occ / max(ray_keep, 1e-6))
+        print(f"cull: keep {kf:.4f} -> bucket {ray_keep}, occ {occ:.4f} -> "
+              f"cap {cap} ({time.perf_counter()-t0:.1f}s)", flush=True)
+
     fn = jax.jit(lambda d, p, c: march_bricks_v2(
         d, p, bp, sky, steps=steps, chunk=32768, capacity_frac=cap,
-        weather_every=1, cone_cache=c))
+        weather_every=1, cone_cache=c, ray_keep_frac=ray_keep))
     t0 = time.perf_counter()
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cc)))
     print(f"v2 compile+run: {time.perf_counter()-t0:.2f}s", flush=True)
@@ -77,6 +94,16 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3)
     print(f"v2 steady: {sorted(times)[2]:.0f} ms  (all: "
           f"{[round(t) for t in times]})", flush=True)
+
+    if do_vs_uncull and ray_keep is not None:
+        fnu = jax.jit(lambda d, p, c: march_bricks_v2(
+            d, p, bp, sky, steps=steps, chunk=32768, capacity_frac=0.15,
+            weather_every=1, cone_cache=c))
+        unc = np.asarray(jax.block_until_ready(fnu(dirs, params, cc)))
+        t0 = time.perf_counter()
+        unc = np.asarray(jax.block_until_ready(fnu(dirs, params, cc)))
+        print(f"uncull steady: {(time.perf_counter()-t0)*1e3:.0f} ms; "
+              f"PSNR culled vs unculled: {psnr(out, unc):.1f} dB", flush=True)
 
     if do_exact:
         ex = jax.jit(lambda d, p: march_bricks(

@@ -18,7 +18,8 @@ from cloudscape_tpu.models import atmosphere
 from cloudscape_tpu.models.density import MarchParams
 from cloudscape_tpu.models.march_fast import (
     BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
-    occupied_sample_fraction, select_capacity_frac,
+    occupied_sample_fraction, ray_keep_fraction,
+    select_capacity_frac, select_ray_keep_frac,
 )
 from cloudscape_tpu.models.packs import make_noise_pack
 from cloudscape_tpu.utils.image import psnr
@@ -63,9 +64,13 @@ def _gate(bp, slut, sun, coverage):
         ground_color=np.array([0.27, 0.19, 0.027]),
     )
     dirs = bench_dirs()
-    # The bench's own adaptive-capacity policy, at the same knob ratios.
+    # The bench's own adaptive ray-cull + capacity policy, at the same knob
+    # ratios.
+    keep = float(ray_keep_fraction(dirs, params, bp, steps=STEPS))
+    ray_keep = select_ray_keep_frac(keep)
     cap = select_capacity_frac(
         float(occupied_sample_fraction(dirs, params, bp))
+        / max(ray_keep, 1e-6)
     )
     # chunk small enough that capacity = frac·total (as at bench scale).
     chunk = 512
@@ -77,7 +82,8 @@ def _gate(bp, slut, sun, coverage):
     cone = build_cone_cache(params, bp, 6, res=BENCH_CONE_RES, chunk=16384)
     got = np.asarray(
         march_bricks_v2(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
-                        capacity_frac=cap, cone_cache=cone)
+                        capacity_frac=cap, cone_cache=cone,
+                        ray_keep_frac=ray_keep)
     )
     assert (exact[..., 3] > 0.1).mean() > 0.02, "scene rendered no clouds"
     return psnr(got, exact)

@@ -22,6 +22,8 @@ from cloudscape_tpu.models.march_fast import (
     build_cone_cache,
     march_bricks,
     march_bricks_v2,
+    ray_keep_fraction,
+    select_ray_keep_frac,
 )
 from cloudscape_tpu.models.packs import make_noise_pack
 from cloudscape_tpu.ops.octmap import texel_directions
@@ -145,6 +147,73 @@ def test_v2_capacity_overflow_degrades_gracefully(setup):
     assert 0.5 < ratio < 1.5, f"fallback alpha mass off ({ratio:.2f}×)"
     p = psnr(tiny, ok)
     assert p > 15.0, f"fallback render too degraded ({p:.1f} dB)"
+
+
+def test_v2_ray_cull_matches(setup):
+    """Ray-level culling (margin + 3×3-dilated prepass) vs the unculled v2
+    path — and vs the exact-march anchor. On this scene the guards make it
+    bit-comparable (see probe data in bench/probe_occupancy.py); the gate is
+    the standard 40 dB."""
+    bp, slut, params, dirs, exact, cc = setup
+    kf = float(ray_keep_fraction(dirs, params, bp, steps=64,
+                                 prepass_steps=16))
+    rb = select_ray_keep_frac(kf)
+    assert rb < 1.0, f"scene unexpectedly dense (keep {kf:.2f}) — no culling"
+    base = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=256,
+                        capacity_frac=0.5, cone_cache=cc)
+    )
+    got = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=256,
+                        capacity_frac=0.5, cone_cache=cc,
+                        ray_keep_frac=rb, prepass_steps=16)
+    )
+    assert np.isfinite(got).all()
+    p = psnr(got, base)
+    assert p > 40.0, f"ray-culled v2 PSNR {p:.1f} dB vs unculled"
+    p2 = psnr(got, exact)
+    assert p2 > 40.0, f"ray-culled v2 PSNR {p2:.1f} dB vs exact march"
+
+
+def test_v2_ray_cull_overcast_selects_off(setup):
+    """An overcast scene keeps ~every ray — the bucket policy must return
+    1.0 (culling disabled) rather than pay prepass + compaction for
+    nothing."""
+    bp, _, _, dirs, _, _ = setup
+    sun = np.array([0.3, 0.4, -0.85])
+    sun /= np.linalg.norm(sun)
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]), cloud_coverage=0.95,
+        light_direction=sun, ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    kf = float(ray_keep_fraction(dirs, params, bp, steps=64,
+                                 prepass_steps=16))
+    assert kf > 0.7
+    assert select_ray_keep_frac(kf) == 1.0
+
+
+def test_v2_ray_cull_overflow_renders_empty_sky(setup):
+    """Ray capacity overflow drops whole rays to empty sky (the documented
+    cliff — sized away by ray_keep_fraction + select_ray_keep_frac): output
+    stays finite and only loses alpha mass, never corrupts."""
+    bp, slut, params, dirs, _, cc = setup
+    ok = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=256,
+                        capacity_frac=0.5, cone_cache=cc)
+    )
+    tiny = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=256,
+                        capacity_frac=0.5, cone_cache=cc,
+                        ray_keep_frac=0.3, prepass_steps=16)
+    )
+    assert np.isfinite(tiny).all()
+    assert not np.array_equal(tiny, ok), "capacity 0.3 didn't overflow"
+    ratio = tiny[..., 3].sum() / max(ok[..., 3].sum(), 1e-9)
+    assert ratio <= 1.0 + 1e-6, "overflow must only DROP rays"
+    assert ratio > 0.3, f"overflow dropped nearly everything ({ratio:.2f}×)"
+    # Dropped rays are exactly empty, kept rays exactly agree.
+    kept = tiny[..., 3] > 0.0
+    np.testing.assert_allclose(tiny[kept], ok[kept], rtol=1e-5, atol=1e-6)
 
 
 def test_compact_indices_matches_nonzero():
