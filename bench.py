@@ -118,7 +118,8 @@ def main() -> None:
     # quality gates in tests/test_march_v2.py / test_bench_config.py
     # exercise): ray bucket from the prepass keep fraction; sample capacity
     # from the pre>0 occupancy WITHIN kept rays × 1.5 margin.
-    keep = float(ray_keep_fraction(dirs, params, bricks, steps=STEPS))
+    keep = float(ray_keep_fraction(dirs, params, bricks, steps=STEPS,
+                                   ray_stride=2))
     ray_keep = select_ray_keep_frac(keep)
     occ = float(occupied_sample_fraction(dirs, params, bricks))
     capacity_frac = select_capacity_frac(occ / max(ray_keep, 1e-6))
@@ -137,7 +138,8 @@ def main() -> None:
                                         chunk=32768,
                                         capacity_frac=capacity_frac,
                                         cone_cache=c,
-                                        ray_keep_frac=ray_keep)
+                                        ray_keep_frac=ray_keep,
+                                        ray_stride=2)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
     assert np.isfinite(out).all(), "benchmark render produced non-finite values"

@@ -60,25 +60,27 @@ def main():
             ts.append((time.perf_counter() - t0) * 1e3)
         return sorted(ts)[len(ts) // 2], [round(t) for t in ts]
 
-    for C in (32, 16):
+    for C, rs in ((32, 2), (32, 1)):
         @jax.jit
-        def sel(d, p, C=C):
+        def sel(d, p, C=C, rs=rs):
             flat = d.reshape(-1, 3)
             above, ndir, ss, p0, _, _ = _ray_setup(flat, p, 128)
             prio = _cull_priority(above, ndir, ss, p0, p, bp, 128, C,
-                                  32768, shape)
+                                  32768, shape, rs)
             return jnp.sort(jnp.argsort(-prio)[:314573])
 
         ms, all_ms = timed(sel, dirs, params)
-        print(f"prepass+select C={C}: {ms:.0f} ms  {all_ms}", flush=True)
+        print(f"prepass+select C={C} stride={rs}: {ms:.0f} ms  {all_ms}",
+              flush=True)
 
-    for C in (32, 16):
-        fn = jax.jit(lambda d, p, c, C=C: march_bricks_v2(
+    for C, rs, reps in ((32, 2, 8), (32, 1, 4)):
+        fn = jax.jit(lambda d, p, c, C=C, rs=rs: march_bricks_v2(
             d, p, bp, sky, steps=128, chunk=32768, capacity_frac=0.25,
             weather_every=1, cone_cache=c, ray_keep_frac=0.6,
-            prepass_steps=C))
-        ms, all_ms = timed(fn, dirs, params, cc)
-        print(f"culled v2 C={C}: {ms:.0f} ms  {all_ms}", flush=True)
+            prepass_steps=C, ray_stride=rs))
+        ms, all_ms = timed(fn, dirs, params, cc, reps=reps)
+        print(f"culled v2 C={C} stride={rs}: {ms:.0f} ms  {all_ms}",
+              flush=True)
 
 
 if __name__ == "__main__":

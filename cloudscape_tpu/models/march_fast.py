@@ -635,15 +635,27 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     return jnp.where(above[..., None], out, 0.0)
 
 
+def _dilate_max(m2):
+    """3×3 max dilation, separable (rows then cols — 4 maxes, not 8)."""
+    d = jnp.maximum(m2, jnp.maximum(jnp.roll(m2, 1, 0), jnp.roll(m2, -1, 0)))
+    return jnp.maximum(d, jnp.maximum(jnp.roll(d, 1, 1), jnp.roll(d, -1, 1)))
+
+
 def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
                    steps: int, prepass_steps: int, chunk: int,
-                   cull_shape: tuple | None):
+                   cull_shape: tuple | None, ray_stride: int = 1):
     """Per-ray cull priority: max `pre` over `prepass_steps` coarse exact
     samples (pre is the unclamped coverage margin, smooth along the ray),
     with a 3×3 neighbor bonus (−0.1) when the 2-D ray grid is known, and
     −inf below the horizon. Shared by `_march_core2`'s ray cull and
     `ray_keep_fraction` so capacity sizing sees exactly what the kernel
-    ranks."""
+    ranks.
+
+    ray_stride > 1 (needs the 2-D grid with divisible dims) scores only
+    every stride-th ray per axis and nearest-upsamples the dilated
+    priority — stride 2 quarters the prepass gather cost, and the coarse
+    dilation's wider footprint (±2 fine rays) still covers every skipped
+    ray's neighborhood (quality-gated with the rest of the cull)."""
     n = ndir.shape[0]
     i_pre = (jnp.arange(prepass_steps, dtype=jnp.float32) + 1.0) \
         * float(steps // prepass_steps)
@@ -658,22 +670,43 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
         pre_p, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
         return jnp.max(pre_p, axis=1)
 
+    grid = cull_shape is not None and len(cull_shape) == 2
+    sub = ray_stride > 1 and grid \
+        and cull_shape[0] % ray_stride == 0 and cull_shape[1] % ray_stride == 0
+    if sub:
+        H, W = cull_shape
+        hs, ws = H // ray_stride, W // ray_stride
+
+        def coarse(a):
+            return a.reshape((H, W) + a.shape[1:])[::ray_stride, ::ray_stride] \
+                .reshape((hs * ws,) + a.shape[1:])
+
+        above_p, ndir_p, ss_p, p0_p = (coarse(above), coarse(ndir),
+                                       coarse(ss), coarse(p0))
+        n_p = hs * ws
+    else:
+        above_p, ndir_p, ss_p, p0_p, n_p = above, ndir, ss, p0, n
+
     up0 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    chunk_p = min(chunk, n_p)
     prio = jax.lax.map(prepass_chunk, (
-        _pad_blocks(p0, chunk, up0 * GROUND_RADIUS),
-        _pad_blocks(ndir, chunk, up0),
-        _pad_blocks(ss, chunk, jnp.float32(1.0)),
-    )).reshape(-1)[:n]
+        _pad_blocks(p0_p, chunk_p, up0 * GROUND_RADIUS),
+        _pad_blocks(ndir_p, chunk_p, up0),
+        _pad_blocks(ss_p, chunk_p, jnp.float32(1.0)),
+    )).reshape(-1)[:n_p]
     neg_inf = jnp.float32(-jnp.inf)
-    prio = jnp.where(above, prio, neg_inf)
-    if cull_shape is not None and len(cull_shape) == 2:
+    prio = jnp.where(above_p, prio, neg_inf)
+    if sub:
+        d2 = jnp.maximum(prio.reshape(hs, ws),
+                         _dilate_max(prio.reshape(hs, ws)) - 0.1)
+        prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
+                          axis=1).reshape(-1)
+        return jnp.where(above, prio, neg_inf)
+    if grid:
         m2 = prio.reshape(cull_shape)
-        d2 = m2
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    d2 = jnp.maximum(d2, jnp.roll(m2, (dy, dx), axis=(0, 1)))
-        prio = jnp.where(above, jnp.maximum(prio, d2.reshape(-1) - 0.1),
+        prio = jnp.where(above,
+                         jnp.maximum(prio.reshape(-1),
+                                     _dilate_max(m2).reshape(-1) - 0.1),
                          neg_inf)
     return prio
 
@@ -682,7 +715,8 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                  bp: BrickPack, atmos, steps: int, chunk: int,
                  capacity_frac: float, cone_cache: "ConeCache",
                  weather_every: int = 4, ray_keep_frac: float | None = None,
-                 prepass_steps: int = 32, cull_shape: tuple | None = None):
+                 prepass_steps: int = 32, cull_shape: tuple | None = None,
+                 ray_stride: int = 1):
     """Row-lean march core (the headline-path variant of `_march_core`).
 
     Same math, restructured to minimize gather rows per (ray, step) sample —
@@ -741,7 +775,7 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         assert steps % prepass_steps == 0, \
             "prepass_steps must divide steps"
         prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
-                              prepass_steps, chunk, cull_shape)
+                              prepass_steps, chunk, cull_shape, ray_stride)
         ray_cap = max(int(n * ray_keep_frac), min(chunk, n))
         ray_cap += (-ray_cap) % min(chunk, n)
         ray_cap = min(ray_cap, n)
@@ -962,10 +996,11 @@ def occupied_sample_fraction(dirs, params: MarchParams, bp: BrickPack,
 
 
 @partial(jax.jit, static_argnames=("steps", "prepass_steps", "chunk",
-                                   "prepass_margin"))
+                                   "prepass_margin", "ray_stride"))
 def ray_keep_fraction(dirs, params: MarchParams, bp: BrickPack,
                       steps: int = 128, prepass_steps: int = 32,
-                      chunk: int = 32768, prepass_margin: float = 0.02):
+                      chunk: int = 32768, prepass_margin: float = 0.02,
+                      ray_stride: int = 1):
     """Fraction of rays whose `_march_core2` cull priority exceeds
     −prepass_margin — the quantity that sizes `ray_keep_frac`. Runs the
     kernel's own `_cull_priority` (full grid, dilation bonus included) so
@@ -979,7 +1014,7 @@ def ray_keep_fraction(dirs, params: MarchParams, bp: BrickPack,
     above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
     prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
                           prepass_steps, min(chunk, max(flat.shape[0], 1)),
-                          shape if len(shape) == 2 else None)
+                          shape if len(shape) == 2 else None, ray_stride)
     return jnp.mean((prio > -prepass_margin).astype(jnp.float32))
 
 
@@ -1021,7 +1056,7 @@ def select_capacity_frac(occupied_frac: float, margin: float = 1.5,
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
                                    "capacity_frac", "weather_every",
                                    "cone_res", "ray_keep_frac",
-                                   "prepass_steps"))
+                                   "prepass_steps", "ray_stride"))
 def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     steps: int = 128, light_steps: int = 6,
                     chunk: int = 32768, capacity_frac: float = 0.25,
@@ -1029,7 +1064,7 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     cone_cache: "ConeCache | None" = None,
                     cone_res=(32, 512, 512),
                     ray_keep_frac: float | None = None,
-                    prepass_steps: int = 32):
+                    prepass_steps: int = 32, ray_stride: int = 1):
     """Row-lean fast march (headline path): `_march_core2` over world
     directions. Builds the per-cycle cone cache inline when not supplied.
     Position-matched to `march_bricks` (same sample placement); the
@@ -1052,7 +1087,8 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
     out = _march_core2(above, ndir, ss, p0, phase, params, bp, atmos,
                        steps, min(chunk, max(n, 1)), capacity_frac,
                        cone_cache, weather_every, ray_keep_frac,
-                       prepass_steps, shape if len(shape) == 2 else None)
+                       prepass_steps, shape if len(shape) == 2 else None,
+                       ray_stride)
     return out.reshape(shape + (4,))
 
 
