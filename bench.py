@@ -89,9 +89,8 @@ def main() -> None:
     from cloudscape_tpu.models import atmosphere
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
-        BrickPack, build_cone_cache, march_bricks_v2,
-        occupied_sample_fraction, ray_keep_fraction,
-        select_capacity_frac, select_ray_keep_frac,
+        BrickPack, build_cone_cache, march_bricks_v2, ray_keep_fraction,
+        v2_auto_policy,
     )
     from cloudscape_tpu.models.packs import reference_noise_pack
 
@@ -117,12 +116,14 @@ def main() -> None:
     # Scene-adaptive ray culling + compaction capacity (the same policy the
     # quality gates in tests/test_march_v2.py / test_bench_config.py
     # exercise): ray bucket from the prepass keep fraction; sample capacity
-    # from the pre>0 occupancy WITHIN kept rays × 1.5 margin.
+    # from the staged occupancy WITHIN kept rays. The occlusion cutoff
+    # costs one extra dense cumprod pass (~40 ms measured), so it is
+    # enabled only when it actually shrinks the capacity bucket (thin
+    # scenes: no saturation → pure tax; overcast: large win).
     keep = float(ray_keep_fraction(dirs, params, bricks, steps=STEPS,
                                    ray_stride=2))
-    ray_keep = select_ray_keep_frac(keep)
-    occ = float(occupied_sample_fraction(dirs, params, bricks))
-    capacity_frac = select_capacity_frac(occ / max(ray_keep, 1e-6))
+    ray_keep, capacity_frac, t_cutoff, occ = v2_auto_policy(
+        dirs, params, bricks, steps=STEPS)
 
     # ---- Per-cycle cone-density cache (state, like the sky LUT).
     build = jax.jit(lambda p: build_cone_cache(p, bricks, 6, res=CONE_RES,
@@ -139,7 +140,8 @@ def main() -> None:
                                         capacity_frac=capacity_frac,
                                         cone_cache=c,
                                         ray_keep_frac=ray_keep,
-                                        ray_stride=2)
+                                        ray_stride=2,
+                                        t_cutoff=t_cutoff)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
     assert np.isfinite(out).all(), "benchmark render produced non-finite values"
@@ -199,6 +201,7 @@ def main() -> None:
                 "occupied_frac": round(occ, 4),
                 "ray_keep_frac": ray_keep,
                 "ray_keep_measured": round(keep, 4),
+                "t_cutoff": t_cutoff,
                 "value_with_bake": round(ms + cone_ms, 1),
                 "per_tile_ms": round(per_tile_ms, 2),
                 "fps_equivalent": round(1000.0 / per_tile_ms, 1),

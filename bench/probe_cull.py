@@ -60,27 +60,33 @@ def main():
             ts.append((time.perf_counter() - t0) * 1e3)
         return sorted(ts)[len(ts) // 2], [round(t) for t in ts]
 
-    for C, rs in ((32, 2), (32, 1)):
-        @jax.jit
-        def sel(d, p, C=C, rs=rs):
-            flat = d.reshape(-1, 3)
-            above, ndir, ss, p0, _, _ = _ray_setup(flat, p, 128)
-            prio = _cull_priority(above, ndir, ss, p0, p, bp, 128, C,
-                                  32768, shape, rs)
-            return jnp.sort(jnp.argsort(-prio)[:314573])
+    # Bench policy with the occlusion cutoff: measured occupancy → bucket.
+    from cloudscape_tpu.models.march_fast import (
+        occupied_sample_fraction, ray_keep_fraction,
+        select_capacity_frac, select_ray_keep_frac,
+    )
 
-        ms, all_ms = timed(sel, dirs, params)
-        print(f"prepass+select C={C} stride={rs}: {ms:.0f} ms  {all_ms}",
-              flush=True)
+    kf = float(ray_keep_fraction(dirs, params, bp, steps=128, ray_stride=2))
+    rk = select_ray_keep_frac(kf)
+    occ = float(occupied_sample_fraction(dirs, params, bp))
+    cap = select_capacity_frac(occ / max(rk, 1e-6))
+    print(f"policy: keep {kf:.4f} -> {rk}; occ(cutoff) {occ:.4f} -> cap {cap}",
+          flush=True)
 
-    for C, rs, reps in ((32, 2, 8), (32, 1, 4)):
-        fn = jax.jit(lambda d, p, c, C=C, rs=rs: march_bricks_v2(
-            d, p, bp, sky, steps=128, chunk=32768, capacity_frac=0.25,
-            weather_every=1, cone_cache=c, ray_keep_frac=0.6,
-            prepass_steps=C, ray_stride=rs))
-        ms, all_ms = timed(fn, dirs, params, cc, reps=reps)
-        print(f"culled v2 C={C} stride={rs}: {ms:.0f} ms  {all_ms}",
-              flush=True)
+    variants = [
+        ("policy+cutoff", dict(capacity_frac=cap, ray_keep_frac=rk)),
+        ("cutoff-off", dict(capacity_frac=cap, ray_keep_frac=rk,
+                            t_cutoff=0.0)),
+    ]
+    base = dict(steps=128, chunk=32768, weather_every=1,
+                prepass_steps=32, ray_stride=2)
+    for name, over in variants:
+        kw = {**base, **over}
+        fn = jax.jit(lambda d, p, c, kw=tuple(sorted(kw.items())):
+                     march_bricks_v2(d, p, bp, sky, cone_cache=c,
+                                     **dict(kw)))
+        ms, all_ms = timed(fn, dirs, params, cc, reps=6)
+        print(f"culled v2 {name}: {ms:.0f} ms  {all_ms}", flush=True)
 
 
 if __name__ == "__main__":

@@ -40,8 +40,7 @@ def main() -> None:
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
         BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
-        march_hierarchical, occupied_sample_fraction, ray_keep_fraction,
-        select_capacity_frac, select_ray_keep_frac,
+        march_hierarchical, v2_auto_policy,
     )
     from cloudscape_tpu.models.packs import procedural_noise_pack, reference_noise_pack
 
@@ -63,16 +62,6 @@ def main() -> None:
             ground_color=np.array([0.27, 0.19, 0.027]),
         )
         return sky, p
-
-    def v2_policy(dirs, p, bp_, steps):
-        """The production path's scene-adaptive cull + capacity policy
-        (same as bench.py; quality gated in tests/test_bench_config.py)."""
-        keep = float(ray_keep_fraction(dirs, p, bp_, steps=steps,
-                                       ray_stride=2))
-        rk = select_ray_keep_frac(keep)
-        occ = float(occupied_sample_fraction(dirs, p, bp_))
-        cap = select_capacity_frac(occ / max(rk, 1e-6))
-        return rk, cap
 
     def emit(config, name, ms, w, h, extra=None):
         rec = {
@@ -103,12 +92,12 @@ def main() -> None:
         # (v2 + ray cull + cone cache; ≥40 dB gated).
         sky, p = scene([0.3, 0.4, -0.85])
         dirs = jnp.asarray(hemisphere_dirs(512, 256))
-        rk, cap = v2_policy(dirs, p, bricks, 64)
+        rk, cap, tc, _ = v2_auto_policy(dirs, p, bricks, steps=64)
         cc = jax.block_until_ready(jax.jit(lambda q: build_cone_cache(
             q, bricks, 6, res=(32, 512, 512), chunk=65536))(p))
         f = jax.jit(lambda d, q, c: march_bricks_v2(
             d, q, bricks, sky, steps=64, chunk=32768, capacity_frac=cap,
-            cone_cache=c, ray_keep_frac=rk, ray_stride=2))
+            cone_cache=c, ray_keep_frac=rk, ray_stride=2, t_cutoff=tc))
         ms, _ = _timed(f, dirs, p, cc)
         emit(2, "wind_amortized_512x256x64_fullmap", ms, 512, 256,
              {"per_tile_ms_at_64frames": round(ms / 64.0, 2),
@@ -119,12 +108,12 @@ def main() -> None:
         # production path — bench.py is the canonical measurement).
         sky, p = scene([0.6, 0.25, -0.75])
         dirs = jnp.asarray(hemisphere_dirs(1024, 512))
-        rk, cap = v2_policy(dirs, p, bricks, 128)
+        rk, cap, tc, _ = v2_auto_policy(dirs, p, bricks, steps=128)
         cc = jax.block_until_ready(jax.jit(lambda q: build_cone_cache(
             q, bricks, 6, res=(32, 512, 512), chunk=65536))(p))
         f = jax.jit(lambda d, q, c: march_bricks_v2(
             d, q, bricks, sky, steps=128, chunk=32768, capacity_frac=cap,
-            cone_cache=c, ray_keep_frac=rk, ray_stride=2))
+            cone_cache=c, ray_keep_frac=rk, ray_stride=2, t_cutoff=tc))
         ms, _ = _timed(f, dirs, p, cc)
         # Sky LUT re-render (per cycle when the sun moves).
         lut_ms, _ = _timed(
@@ -147,12 +136,12 @@ def main() -> None:
         pb = BrickPack.from_noise(pack)
         sky, p = scene([0.3, 0.4, -0.85])
         dirs = jnp.asarray(hemisphere_dirs(512, 256))
-        rk, cap = v2_policy(dirs, p, pb, 64)
+        rk, cap, tc, _ = v2_auto_policy(dirs, p, pb, steps=64)
         cc = jax.block_until_ready(jax.jit(lambda q: build_cone_cache(
             q, pb, 6, res=(32, 512, 512), chunk=65536))(p))
         f = jax.jit(lambda d, q, c: march_bricks_v2(
             d, q, pb, sky, steps=64, chunk=32768, capacity_frac=cap,
-            cone_cache=c, ray_keep_frac=rk, ray_stride=2))
+            cone_cache=c, ray_keep_frac=rk, ray_stride=2, t_cutoff=tc))
         ms, out = _timed(f, dirs, p, cc)
         emit(4, "procedural_pallas_512x256x64", ms, 512, 256,
              {"pallas_base_gen_ms": round(gen_ms, 1),

@@ -716,7 +716,7 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                  capacity_frac: float, cone_cache: "ConeCache",
                  weather_every: int = 4, ray_keep_frac: float | None = None,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
-                 ray_stride: int = 1):
+                 ray_stride: int = 1, t_cutoff: float = 0.0):
     """Row-lean march core (the headline-path variant of `_march_core`).
 
     Same math, restructured to minimize gather rows per (ray, step) sample —
@@ -834,7 +834,29 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
         pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
         weather = jnp.stack([wrc, wbc], axis=-1)
-        return _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+        pre_c, hf_c = _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+        if t_cutoff <= 0.0:
+            return pre_c, hf_c, jnp.ones_like(pre_c, dtype=bool)
+        # Occlusion cutoff (conservative): erosion only REDUCES density and
+        # is maximal at hfbm = 1, so t ≥ t_lb below — the resulting prefix
+        # transmittance T_ub ≥ the true prefix. Samples with T_ub ≤ cutoff
+        # are provably invisible (their contribution carries the true
+        # prefix ≤ T_ub); staging skips them, and since T_ub is monotone
+        # decreasing, every LATER occupied sample on the ray is skipped
+        # too, keeping the accumulation self-consistent (alpha error ≤
+        # cutoff). v1's `_march_core` cuts only the sun term using the
+        # exact t_prefix; here erosion itself is staged, so the bound must
+        # come from pre alone.
+        t_lb = jnp.power(
+            jnp.clip(m.remap(pre_c, 0.4 * hf_c, 1.0, 0.0, 1.0), 0.0, 1.0),
+            (1.0 - hf_c) * 0.8 + 0.5,
+        )
+        dt_ub = jnp.exp(-params.density * t_lb * ssc[:, None])
+        T_ub = jnp.concatenate(
+            [jnp.ones_like(dt_ub[:, :1]), jnp.cumprod(dt_ub, axis=1)[:, :-1]],
+            axis=1,
+        )
+        return pre_c, hf_c, T_ub > t_cutoff
 
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     blocks = (
@@ -843,12 +865,14 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         _pad_blocks(ss, chunk, jnp.float32(1.0)),
     )
     w_r, w_b = jax.lax.map(weather_chunk, blocks)
-    pre, hf = jax.lax.map(pre_chunk, blocks + (w_r, w_b))
+    pre, hf, live = jax.lax.map(pre_chunk, blocks + (w_r, w_b))
     pre = pre.reshape(-1, steps)[:n]
     hf = hf.reshape(-1, steps)[:n]
 
     # ---- Phase 2 (one shared compaction): erosion → t, cone-cache → cd.
     occupied = (pre > 0.0) & above[:, None]
+    if t_cutoff > 0.0:
+        occupied &= live.reshape(-1, steps)[:n]
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
     idx = _compact_indices(occupied.reshape(-1), capacity, total)
@@ -976,13 +1000,16 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     return out
 
 
-@partial(jax.jit, static_argnames=("steps", "stride"))
+@partial(jax.jit, static_argnames=("steps", "stride", "t_cutoff"))
 def occupied_sample_fraction(dirs, params: MarchParams, bp: BrickPack,
-                             steps: int = 16, stride: int = 8):
-    """Cheap estimate of the `pre > 0` (ray·step) occupancy — the quantity
-    that sizes `_march_core2`'s compacted capacity. Probes every `stride`-th
-    ray at `steps` coarse samples (≈ n/stride·steps·2 gather rows). Call once
-    per cycle / scene and feed `select_capacity_frac`."""
+                             steps: int = 16, stride: int = 8,
+                             t_cutoff: float = 1e-4):
+    """Cheap estimate of the STAGED (ray·step) occupancy — `pre > 0` minus
+    the occlusion cutoff (`_march_core2`'s conservative T_ub bound at this
+    coarse step count) — the quantity that sizes the compacted capacity.
+    Probes every `stride`-th ray at `steps` coarse samples (≈
+    n/stride·steps·2 gather rows). Call once per cycle / scene and feed
+    `select_capacity_frac` (match the march's t_cutoff)."""
     flat = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)[::stride]
     above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
     i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
@@ -991,8 +1018,20 @@ def occupied_sample_fraction(dirs, params: MarchParams, bp: BrickPack,
     py = p0[:, 1, None] + ndir[:, 1, None] * tt
     pz = p0[:, 2, None] + ndir[:, 2, None] * tt
     weather = _weather_rb_xy(bp, px, pz, params.weather_pos)
-    pre, _ = _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
-    return jnp.mean(((pre > 0.0) & above[:, None]).astype(jnp.float32))
+    pre, hf = _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+    occ = (pre > 0.0) & above[:, None]
+    if t_cutoff > 0.0:
+        t_lb = jnp.power(
+            jnp.clip(m.remap(pre, 0.4 * hf, 1.0, 0.0, 1.0), 0.0, 1.0),
+            (1.0 - hf) * 0.8 + 0.5,
+        )
+        dt_ub = jnp.exp(-params.density * t_lb * ss[:, None])
+        T_ub = jnp.concatenate(
+            [jnp.ones_like(dt_ub[:, :1]), jnp.cumprod(dt_ub, axis=1)[:, :-1]],
+            axis=1,
+        )
+        occ &= T_ub > t_cutoff
+    return jnp.mean(occ.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("steps", "prepass_steps", "chunk",
@@ -1040,7 +1079,7 @@ def select_ray_keep_frac(keep_frac: float, margin: float = 1.1,
 CAPACITY_BUCKETS = (0.09, 0.12, 0.15, 0.2, 0.25, 0.35, 0.5)
 
 
-def select_capacity_frac(occupied_frac: float, margin: float = 1.5,
+def select_capacity_frac(occupied_frac: float, margin: float = 1.3,
                          buckets=CAPACITY_BUCKETS) -> float:
     """Smallest capacity bucket ≥ margin × measured occupancy (static jit
     argument → at most len(buckets) executables). Above the last bucket,
@@ -1053,10 +1092,37 @@ def select_capacity_frac(occupied_frac: float, margin: float = 1.5,
     return buckets[-1]
 
 
+def v2_auto_policy(dirs, params: MarchParams, bp: BrickPack,
+                   steps: int = 128, ray_stride: int = 2):
+    """Scene-adaptive knobs for `march_bricks_v2`, measured once per
+    cycle/scene (host-side; ~two prepass-scale device calls). Returns
+    (ray_keep_frac, capacity_frac, t_cutoff, occupied_frac):
+
+    - ray bucket from the cull-prepass keep fraction;
+    - capacity bucket from the staged occupancy WITHIN kept rays;
+    - occlusion cutoff enabled only when it shrinks the capacity bucket
+      (the cutoff's dense cumprod pass costs ~40 ms/frame at bench scale —
+      pure tax on thin scenes, large capacity win on overcast ones).
+
+    The same policy is exercised by the quality gates in
+    tests/test_bench_config.py and shipped by bench.py / bench/sweep.py."""
+    keep = float(ray_keep_fraction(dirs, params, bp, steps=steps,
+                                   ray_stride=ray_stride))
+    rk = select_ray_keep_frac(keep)
+    occ_plain = float(occupied_sample_fraction(dirs, params, bp,
+                                               t_cutoff=0.0))
+    occ_cut = float(occupied_sample_fraction(dirs, params, bp))
+    cap_plain = select_capacity_frac(occ_plain / max(rk, 1e-6))
+    cap_cut = select_capacity_frac(occ_cut / max(rk, 1e-6))
+    if cap_cut < cap_plain:
+        return rk, cap_cut, 1e-4, occ_cut
+    return rk, cap_plain, 0.0, occ_plain
+
+
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
                                    "capacity_frac", "weather_every",
                                    "cone_res", "ray_keep_frac",
-                                   "prepass_steps", "ray_stride"))
+                                   "prepass_steps", "ray_stride", "t_cutoff"))
 def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     steps: int = 128, light_steps: int = 6,
                     chunk: int = 32768, capacity_frac: float = 0.25,
@@ -1064,7 +1130,8 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     cone_cache: "ConeCache | None" = None,
                     cone_res=(32, 512, 512),
                     ray_keep_frac: float | None = None,
-                    prepass_steps: int = 32, ray_stride: int = 1):
+                    prepass_steps: int = 32, ray_stride: int = 1,
+                    t_cutoff: float = 1e-4):
     """Row-lean fast march (headline path): `_march_core2` over world
     directions. Builds the per-cycle cone cache inline when not supplied.
     Position-matched to `march_bricks` (same sample placement); the
@@ -1088,7 +1155,7 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps, min(chunk, max(n, 1)), capacity_frac,
                        cone_cache, weather_every, ray_keep_frac,
                        prepass_steps, shape if len(shape) == 2 else None,
-                       ray_stride)
+                       ray_stride, t_cutoff)
     return out.reshape(shape + (4,))
 
 

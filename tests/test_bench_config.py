@@ -18,8 +18,7 @@ from cloudscape_tpu.models import atmosphere
 from cloudscape_tpu.models.density import MarchParams
 from cloudscape_tpu.models.march_fast import (
     BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
-    occupied_sample_fraction, ray_keep_fraction,
-    select_capacity_frac, select_ray_keep_frac,
+    v2_auto_policy,
 )
 from cloudscape_tpu.models.packs import make_noise_pack
 from cloudscape_tpu.utils.image import psnr
@@ -64,14 +63,9 @@ def _gate(bp, slut, sun, coverage):
         ground_color=np.array([0.27, 0.19, 0.027]),
     )
     dirs = bench_dirs()
-    # The bench's own adaptive ray-cull + capacity policy, at the same knob
-    # ratios.
-    keep = float(ray_keep_fraction(dirs, params, bp, steps=STEPS))
-    ray_keep = select_ray_keep_frac(keep)
-    cap = select_capacity_frac(
-        float(occupied_sample_fraction(dirs, params, bp))
-        / max(ray_keep, 1e-6)
-    )
+    # The bench's own adaptive cull/capacity/cutoff policy, at the same
+    # knob ratios (shared implementation: v2_auto_policy).
+    ray_keep, cap, tc, _ = v2_auto_policy(dirs, params, bp, steps=STEPS)
     # chunk small enough that capacity = frac·total (as at bench scale).
     chunk = 512
     assert int(WIDTH * HEIGHT * STEPS * cap) > chunk
@@ -83,7 +77,7 @@ def _gate(bp, slut, sun, coverage):
     got = np.asarray(
         march_bricks_v2(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
                         capacity_frac=cap, cone_cache=cone,
-                        ray_keep_frac=ray_keep)
+                        ray_keep_frac=ray_keep, ray_stride=2, t_cutoff=tc)
     )
     assert (exact[..., 3] > 0.1).mean() > 0.02, "scene rendered no clouds"
     return psnr(got, exact)

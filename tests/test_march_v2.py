@@ -22,6 +22,7 @@ from cloudscape_tpu.models.march_fast import (
     build_cone_cache,
     march_bricks,
     march_bricks_v2,
+    occupied_sample_fraction,
     ray_keep_fraction,
     select_ray_keep_frac,
 )
@@ -214,6 +215,36 @@ def test_v2_ray_cull_overflow_renders_empty_sky(setup):
     # Dropped rays are exactly empty, kept rays exactly agree.
     kept = tiny[..., 3] > 0.0
     np.testing.assert_allclose(tiny[kept], ok[kept], rtol=1e-5, atol=1e-6)
+
+
+def test_v2_occlusion_cutoff_near_exact(setup):
+    """The conservative occlusion cutoff (T_ub from pre-erosion density)
+    skips only provably-invisible staged samples: vs cutoff-off the image
+    error is bounded by the cutoff itself (≤ ~1e-4 in radiance/alpha).
+    Exercised on a high-coverage scene where occlusion actually bites."""
+    bp, slut, _, dirs, _, _ = setup
+    sun = np.array([0.3, 0.4, -0.85])
+    sun /= np.linalg.norm(sun)
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]), cloud_coverage=0.75,
+        light_direction=sun, ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    cc = build_cone_cache(params, bp, 6, res=(24, 256, 256), chunk=8192)
+    off = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=1024,
+                        capacity_frac=0.5, cone_cache=cc, t_cutoff=0.0)
+    )
+    on = np.asarray(
+        march_bricks_v2(dirs, params, bp, slut, steps=64, chunk=1024,
+                        capacity_frac=0.5, cone_cache=cc, t_cutoff=1e-4)
+    )
+    assert np.isfinite(on).all()
+    assert np.abs(on - off).max() < 1e-3
+    assert psnr(on, off) > 60.0
+    # And the cutoff-aware occupancy estimate shrinks (capacity savings).
+    occ_off = float(occupied_sample_fraction(dirs, params, bp, t_cutoff=0.0))
+    occ_on = float(occupied_sample_fraction(dirs, params, bp))
+    assert occ_on < occ_off
 
 
 def test_compact_indices_matches_nonzero():
