@@ -81,13 +81,14 @@ def cubemap_directions(size: int):
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "capacity_frac"),
+                     "kernel", "capacity_frac", "ray_keep_frac"),
     donate_argnums=(0,),
 )
 def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
-                 *, texture_size: int, region: int, steps: int,
-                 light_steps: int, kernel: str = "reference",
-                 capacity_frac: float = 0.5):
+                 prio_map=None, *, texture_size: int, region: int,
+                 steps: int, light_steps: int, kernel: str = "reference",
+                 capacity_frac: float = 0.5,
+                 ray_keep_frac: float | None = None):
     """Render one region² tile into ring[tex_idx] at (x0, y0) — the analog of
     the reference's per-frame compute dispatch (`cloud_sky.gd:234-248`).
 
@@ -98,18 +99,28 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
     brick-table fast march ("fast", takes a BrickPack).
     """
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region, height=region)
+    cull_prio = None
+    if prio_map is not None and ray_keep_frac is not None:
+        # Per-cycle priority map (frozen FrameData ⇒ valid all cycle):
+        # slice this tile's window — per-tile culling with ZERO prepass.
+        cull_prio = jax.lax.dynamic_slice(prio_map, (y0, x0),
+                                          (region, region))
     tile = _march_tile(dirs, params, noise, sky_img, region=region,
                        steps=steps, light_steps=light_steps, kernel=kernel,
-                       capacity_frac=capacity_frac)
+                       capacity_frac=capacity_frac,
+                       ray_keep_frac=ray_keep_frac, cull_prio=cull_prio)
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
 
 
 def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
-                light_steps: int, kernel: str, capacity_frac: float = 0.5):
+                light_steps: int, kernel: str, capacity_frac: float = 0.5,
+                ray_keep_frac: float | None = None, cull_prio=None):
     """Shared tile march body: kernel selects the scan-based reference march
     ("reference", takes a NoisePack), the exact brick-table march ("fast",
     takes a BrickPack), or the row-lean staged march ("fast2", takes a
-    (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle)."""
+    (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle).
+    ray_keep_frac + cull_prio (fast2 only) enable per-tile ray culling from
+    a precomputed priority window."""
     if kernel == "fast2":
         from cloudscape_tpu.models.march_fast import march_bricks_v2
 
@@ -118,7 +129,9 @@ def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
                                light_steps=light_steps,
                                chunk=min(region * region, 16384),
                                capacity_frac=capacity_frac,
-                               cone_cache=cone_cache)
+                               cone_cache=cone_cache,
+                               ray_keep_frac=ray_keep_frac,
+                               cull_prio=cull_prio)
     if kernel == "fast":
         from cloudscape_tpu.models.march_fast import march_bricks
 
@@ -207,15 +220,17 @@ def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "deband", "capacity_frac"),
+                     "kernel", "deband", "capacity_frac", "ray_keep_frac"),
     donate_argnums=(0,),
 )
 def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
                         sky_b0, sky_b1, params: MarchParams, noise, sky_slot,
                         tlut, eyedirs, blend_amount, light_dir,
-                        sun_disk_scale, *, texture_size: int, region: int,
-                        steps: int, light_steps: int, kernel: str,
-                        deband: bool = False, capacity_frac: float = 0.5):
+                        sun_disk_scale, prio_map=None, *, texture_size: int,
+                        region: int, steps: int, light_steps: int,
+                        kernel: str, deband: bool = False,
+                        capacity_frac: float = 0.5,
+                        ray_keep_frac: float | None = None):
     """One display frame in ONE device dispatch: tile update + composite.
 
     The split `update_sky()` + `render_view()` path pays two dispatches
@@ -226,9 +241,14 @@ def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
 
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
                             height=region)
+    cull_prio = None
+    if prio_map is not None and ray_keep_frac is not None:
+        cull_prio = jax.lax.dynamic_slice(prio_map, (y0, x0),
+                                          (region, region))
     tile = _march_tile(dirs, params, noise, sky_ring[sky_slot], region=region,
                        steps=steps, light_steps=light_steps, kernel=kernel,
-                       capacity_frac=capacity_frac)
+                       capacity_frac=capacity_frac,
+                       ray_keep_frac=ray_keep_frac, cull_prio=cull_prio)
     ring = jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
     # Display blending is linear, so it commutes with the bilinear fetch:
     # blend the texture PAIRS once per frame, rebrick (trivial: ~11k gather
@@ -272,6 +292,7 @@ class CloudSkyEngine:
         kernel: str = "fast",
         mesh=None,
         cone_res=(32, 512, 512),
+        tile_cull: bool = False,
     ):
         """kernel: "fast" (brick-table, occupancy-compacted march — exact,
         the default), "fast2" (row-lean staged march + per-cycle cone-density
@@ -285,12 +306,24 @@ class CloudSkyEngine:
 
         mesh: an optional `jax.sharding.Mesh` — tile updates compute with
         rays sharded over the mesh's first axis (ICI), state replicated.
-        The tile edge must divide the mesh size."""
+        The tile edge must divide the mesh size.
+
+        tile_cull (fast2, no mesh): per-tile ray culling from a per-cycle
+        priority map — FrameData is frozen for a whole cycle, so one cheap
+        prepass at rotation scores every texel, and each tile dispatch
+        marches only its scored-occupied rays (bucketed capacity, soft
+        degradation; ≥40 dB gated in tests/test_engine.py). Skips the
+        march entirely on empty-sky tiles. Default off: culled tiles are
+        not bitwise-identical to unculled ones (the amortized ≡ monolithic
+        invariant holds only within a mode)."""
         if kernel not in ("fast", "fast2", "reference"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
         self.cone_res = tuple(cone_res)
         self.mesh = mesh
+        self.tile_cull = bool(tile_cull) and kernel == "fast2" and mesh is None
+        self._prio_map = None
+        self._tile_buckets = None
         self.perf = perf.validate()
         if mesh is not None and self.perf.update_region_size % mesh.devices.size:
             raise ValueError(
@@ -425,6 +458,54 @@ class CloudSkyEngine:
                 self._march_params, self._bricks,
                 light_steps=self.perf.light_steps, res=self.cone_res,
             )
+            if self.tile_cull:
+                self._refresh_tile_cull()
+
+    _TILE_BUCKETS = (0.25, 0.5, 0.75, 1.0)
+
+    def _refresh_tile_cull(self) -> None:
+        """Per-cycle tile-cull state: one full-texture priority prepass
+        (frozen FrameData ⇒ valid until the next rotation) + one host
+        transfer of the per-tile keep fractions, bucketed with a 1.1
+        margin. Capacity shortfalls degrade softly (thinnest rays drop
+        first)."""
+        from cloudscape_tpu.models.march_fast import cull_priority_map
+
+        steps = self.perf.march_steps
+        ps = max(1, steps // 4)
+        while steps % ps:
+            ps -= 1
+        region = self.perf.update_region_size
+        stride = 2 if self.perf.texture_size % 2 == 0 else 1
+        prio, tile_keep = cull_priority_map(
+            texel_directions(self.perf.texture_size), self._march_params,
+            self._bricks, steps=steps, prepass_steps=ps,
+            ray_stride=stride, region=region,
+        )
+        self._prio_map = prio
+        keep = np.asarray(tile_keep).reshape(-1)  # row-major tile order
+        buckets = []
+        for k in keep:
+            for b in self._TILE_BUCKETS:
+                if k * 1.1 <= b:
+                    buckets.append(b)
+                    break
+            else:
+                buckets.append(1.0)
+        self._tile_buckets = buckets
+
+    def _tile_cull_args(self, x0: int, y0: int):
+        """(prio_map, ray_keep_frac) for the tile at (x0, y0) — (None,
+        None) when culling is off or the tile's bucket is 1.0."""
+        if not self.tile_cull or self._tile_buckets is None:
+            return None, None
+        region = self.perf.update_region_size
+        tiles_per_row = self.perf.texture_size // region
+        b = self._tile_buckets[(y0 // region) * tiles_per_row
+                               + (x0 // region)]
+        if b >= 1.0:
+            return None, None
+        return self._prio_map, b
 
     @property
     def _noise_arg(self):
@@ -557,7 +638,9 @@ class CloudSkyEngine:
                 **common,
             )
         else:
-            self.cloud_ring = _update_tile(*args, **common)
+            prio_map, rk = self._tile_cull_args(*self.ring.update_position)
+            self.cloud_ring = _update_tile(*args, prio_map,
+                                           ray_keep_frac=rk, **common)
         self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
 
     # --------------------------------------------------------------- display
@@ -633,6 +716,7 @@ class CloudSkyEngine:
             self._render_sky_lut()
         self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
         b0, b1 = self.ring.sky_back_textures
+        prio_map, rk = self._tile_cull_args(*self.ring.update_position)
         self.cloud_ring, frame = _render_frame_fused(
             self.cloud_ring,
             self.sky_ring,
@@ -651,6 +735,7 @@ class CloudSkyEngine:
             jnp.float32(self._blend_amount),
             jnp.asarray(self.frame_data.light_direction, jnp.float32),
             jnp.float32(self.config.sun_disk_scale),
+            prio_map,
             texture_size=self.perf.texture_size,
             region=self.perf.update_region_size,
             steps=self.perf.march_steps,
@@ -658,6 +743,7 @@ class CloudSkyEngine:
             kernel=self.kernel,
             deband=deband,
             capacity_frac=0.5,
+            ray_keep_frac=rk,
         )
         self.ring.advance_cursor(self.perf.update_region_size,
                                  self.perf.texture_size)

@@ -716,7 +716,8 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                  capacity_frac: float, cone_cache: "ConeCache",
                  weather_every: int = 4, ray_keep_frac: float | None = None,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
-                 ray_stride: int = 1, t_cutoff: float = 0.0):
+                 ray_stride: int = 1, t_cutoff: float = 0.0,
+                 cull_prio=None):
     """Row-lean march core (the headline-path variant of `_march_core`).
 
     Same math, restructured to minimize gather rows per (ray, step) sample —
@@ -772,10 +773,16 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     n_out = n
     cull = ray_keep_frac is not None and ray_keep_frac < 1.0
     if cull:
-        assert steps % prepass_steps == 0, \
-            "prepass_steps must divide steps"
-        prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
-                              prepass_steps, chunk, cull_shape, ray_stride)
+        if cull_prio is not None:
+            # Precomputed per-ray priority (e.g. the engine's per-cycle
+            # map, sliced per tile) — skip the prepass entirely.
+            prio = jnp.where(above, cull_prio.reshape(-1), -jnp.inf)
+        else:
+            assert steps % prepass_steps == 0, \
+                "prepass_steps must divide steps"
+            prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
+                                  prepass_steps, chunk, cull_shape,
+                                  ray_stride)
         ray_cap = max(int(n * ray_keep_frac), min(chunk, n))
         ray_cap += (-ray_cap) % min(chunk, n)
         ray_cap = min(ray_cap, n)
@@ -1057,6 +1064,36 @@ def ray_keep_fraction(dirs, params: MarchParams, bp: BrickPack,
     return jnp.mean((prio > -prepass_margin).astype(jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("steps", "prepass_steps", "chunk",
+                                   "ray_stride", "region", "prepass_margin"))
+def cull_priority_map(dirs, params: MarchParams, bp: BrickPack,
+                      steps: int = 128, prepass_steps: int = 32,
+                      chunk: int = 32768, ray_stride: int = 2,
+                      region: int | None = None,
+                      prepass_margin: float = 0.02):
+    """Full-grid cull priority map for PRECOMPUTED per-tile culling (the
+    engine's per-cycle path: parameters are frozen per cycle, so one map
+    serves every tile of the cycle via `march_bricks_v2(cull_prio=...)`).
+
+    dirs: [H, W, 3]. Returns (prio [H, W] f32, tile_keep [H//region,
+    W//region] f32 — fraction of each region² tile above the margin;
+    tile_keep is None when region is None)."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
+    prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
+                          prepass_steps, min(chunk, max(flat.shape[0], 1)),
+                          shape, ray_stride).reshape(shape)
+    if region is None:
+        return prio, None
+    H, W = shape
+    keep = (prio > -prepass_margin).astype(jnp.float32)
+    tile_keep = keep.reshape(H // region, region, W // region, region) \
+        .mean(axis=(1, 3))
+    return prio, tile_keep
+
+
 RAY_KEEP_BUCKETS = (0.3, 0.4, 0.5, 0.6, 0.75, 0.9, 1.0)
 
 
@@ -1131,7 +1168,7 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     cone_res=(32, 512, 512),
                     ray_keep_frac: float | None = None,
                     prepass_steps: int = 32, ray_stride: int = 1,
-                    t_cutoff: float = 1e-4):
+                    t_cutoff: float = 1e-4, cull_prio=None):
     """Row-lean fast march (headline path): `_march_core2` over world
     directions. Builds the per-cycle cone cache inline when not supplied.
     Position-matched to `march_bricks` (same sample placement); the
@@ -1155,7 +1192,7 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps, min(chunk, max(n, 1)), capacity_frac,
                        cone_cache, weather_every, ray_keep_frac,
                        prepass_steps, shape if len(shape) == 2 else None,
-                       ray_stride, t_cutoff)
+                       ray_stride, t_cutoff, cull_prio)
     return out.reshape(shape + (4,))
 
 

@@ -115,6 +115,36 @@ def test_amortized_cycle_equals_monolithic(engine):
     np.testing.assert_array_equal(completed, mono)
 
 
+def test_tile_cull_matches_unculled(tiny_noise):
+    """fast2 + tile_cull: per-tile ray culling from the per-cycle priority
+    map must stay ≥ 40 dB against the unculled fast2 engine over a full
+    cycle, and leave empty-sky texels exactly empty."""
+    kw = dict(
+        perf=PerfConfig(texture_size=64, frames_to_update=16, march_steps=16,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.45),
+        sun=SunState(direction=(0.3, 0.5, -0.8)),
+        noise=tiny_noise,
+        kernel="fast2",
+        cone_res=(8, 64, 64),
+    )
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw, tile_cull=True)
+    assert b.tile_cull
+    for i in range(18):
+        a.update_sky(now=0.0)
+        b.update_sky(now=0.0)
+    assert b._tile_buckets is not None
+    assert any(x < 1.0 for x in b._tile_buckets), "no tile actually culled"
+    ra = np.asarray(a.cloud_ring)[a.ring.texture_to_blend_to]
+    rb = np.asarray(b.cloud_ring)[b.ring.texture_to_blend_to]
+    assert np.isfinite(rb).all()
+    mse = float(((ra - rb) ** 2).mean())
+    peak = max(float(np.abs(ra).max()), 1e-9)
+    p = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+    assert p > 40.0, f"tile-culled engine {p:.1f} dB vs unculled"
+
+
 @pytest.mark.slow
 def test_shipped_geometry_ratio_amortized_cycle(tiny_noise):
     """Geometry-faithful ratio of the reference's shipped operating point
