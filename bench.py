@@ -167,6 +167,7 @@ def main() -> None:
         sun=SunState(direction=tuple(sun)),
         kernel="fast2",
         cone_res=CONE_RES,
+        tile_cull=True,
     )
     eye = jnp.asarray(view_dirs())
     frame = np.asarray(eng.render_frame(eye, now=0.0))  # warm start + compile
@@ -206,7 +207,8 @@ def main() -> None:
                 "per_tile_ms": round(per_tile_ms, 2),
                 "fps_equivalent": round(1000.0 / per_tile_ms, 1),
                 "per_tile_readback_ms": round(per_tile_readback_ms, 1),
-                "per_tile_config": "768px_64frames_128steps_fused_1280x720",
+                "per_tile_config":
+                    "768px_64frames_128steps_fused_1280x720_tilecull",
                 "quality_gate": "tests/test_bench_config.py (>=40dB); 42.0dB on-chip full scale",
                 "device": str(dev),
                 "all_ms": all_ms,

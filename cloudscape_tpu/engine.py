@@ -493,6 +493,63 @@ class CloudSkyEngine:
             else:
                 buckets.append(1.0)
         self._tile_buckets = buckets
+        self._warm_tile_cull_variants()
+
+    def _warm_tile_cull_variants(self) -> None:
+        """Compile every culled tile-update executable this cycle can
+        dispatch, on a scratch ring — a remote TPU compile is 20-60 s, and
+        paying it mid-flight would stall the serving loop for whole
+        seconds (seen directly in per-tile timings). The reference's
+        analog is shader precompilation at load."""
+        want = {b for b in self._tile_buckets if b < 1.0}
+        done = getattr(self, "_warmed_tile_buckets", set())
+        for b in sorted(want - done):
+            scratch = self.cloud_ring + 0.0  # donated away by the call
+            _update_tile(
+                scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                self._march_params, self._noise_arg, self.sky_ring[0],
+                self._prio_map,
+                texture_size=self.perf.texture_size,
+                region=self.perf.update_region_size,
+                steps=self.perf.march_steps,
+                light_steps=self.perf.light_steps,
+                kernel=self.kernel,
+                capacity_frac=0.5,
+                ray_keep_frac=b,
+            )
+        self._warmed_tile_buckets = done | want
+
+    def _warm_fused_variants(self, eyedirs, deband: bool) -> None:
+        """Compile the fused serving executable for every cull bucket this
+        cycle can dispatch at this camera shape (see
+        `_warm_tile_cull_variants` — a mid-flight remote compile stalls
+        serving for ~20-60 s)."""
+        want = {b for b in self._tile_buckets if b < 1.0}
+        key = (eyedirs.shape, bool(deband))
+        warmed = getattr(self, "_warmed_fused", {})
+        done = warmed.get(key, set())
+        for b in sorted(want - done):
+            scratch = self.cloud_ring + 0.0
+            _render_frame_fused(
+                scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+                jnp.int32(1), self._march_params, self._noise_arg,
+                jnp.int32(0), self.transmittance, eyedirs,
+                jnp.float32(0.5),
+                jnp.asarray(self.frame_data.light_direction, jnp.float32),
+                jnp.float32(self.config.sun_disk_scale),
+                self._prio_map,
+                texture_size=self.perf.texture_size,
+                region=self.perf.update_region_size,
+                steps=self.perf.march_steps,
+                light_steps=self.perf.light_steps,
+                kernel=self.kernel,
+                deband=deband,
+                capacity_frac=0.5,
+                ray_keep_frac=b,
+            )
+        warmed[key] = done | want
+        self._warmed_fused = warmed
 
     def _tile_cull_args(self, x0: int, y0: int):
         """(prio_map, ray_keep_frac) for the tile at (x0, y0) — (None,
@@ -717,6 +774,9 @@ class CloudSkyEngine:
         self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
         b0, b1 = self.ring.sky_back_textures
         prio_map, rk = self._tile_cull_args(*self.ring.update_position)
+        eyedirs = jnp.asarray(eyedirs, jnp.float32)
+        if self.tile_cull and self._tile_buckets is not None:
+            self._warm_fused_variants(eyedirs, deband)
         self.cloud_ring, frame = _render_frame_fused(
             self.cloud_ring,
             self.sky_ring,
