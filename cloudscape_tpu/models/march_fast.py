@@ -1094,18 +1094,21 @@ def cull_priority_map(dirs, params: MarchParams, bp: BrickPack,
     return prio, tile_keep
 
 
-RAY_KEEP_BUCKETS = (0.3, 0.4, 0.5, 0.6, 0.75, 0.9, 1.0)
+RAY_KEEP_BUCKETS = (0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7,
+                    0.75, 0.8, 0.9, 1.0)
 
 
-def select_ray_keep_frac(keep_frac: float, margin: float = 1.1,
+def select_ray_keep_frac(keep_frac: float, margin: float = 1.06,
                          buckets=RAY_KEEP_BUCKETS) -> float:
     """Smallest ray-capacity bucket ≥ margin × measured keep fraction
-    (static jit argument → at most len(buckets) executables). The measured
-    fraction is exact (full-grid, dilation-aware); the margin covers
-    within-cycle wind drift. Capacity shortfalls degrade softly (the
-    lowest-priority rays drop first), so the bucket is a quality knob, not
-    a cliff. 1.0 disables culling entirely (overcast scenes keep
-    everything anyway)."""
+    (static jit argument; fine buckets — every ray-proportional phase pays
+    the bucket, ~10%/0.05 of the frame, and in practice a scene touches
+    one bucket). The measured fraction is exact (full-grid,
+    dilation-aware) and the march itself rounds capacity up to a chunk
+    multiple, so the margin only covers within-cycle wind drift. Capacity
+    shortfalls degrade softly (the lowest-priority rays drop first), so
+    the bucket is a quality knob, not a cliff. 1.0 disables culling
+    entirely (overcast scenes keep everything anyway)."""
     need = keep_frac * margin
     for b in buckets:
         if need <= b:

@@ -40,7 +40,21 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 
 
 def _march_for(kernel: str, steps: int, light_steps: int):
-    """Per-shard march callable: reference (NoisePack) or fast (BrickPack)."""
+    """Per-shard march callable: reference (NoisePack), fast (BrickPack),
+    or fast2 (the production row-lean staged march; noise is a
+    (BrickPack, ConeCache) tuple, both replicated — the cone cache is
+    per-cycle state exactly as in the engine)."""
+    if kernel == "fast2":
+        from cloudscape_tpu.models.march_fast import march_bricks_v2
+
+        def f(d, p, n, s):
+            bricks, cone = n
+            return march_bricks_v2(
+                d, p, bricks, s, steps=steps, light_steps=light_steps,
+                chunk=16384, capacity_frac=0.3, cone_cache=cone,
+            )
+
+        return f
     if kernel == "fast":
         from cloudscape_tpu.models.march_fast import march_bricks
 

@@ -72,6 +72,31 @@ def test_sharded_fast_kernel_matches_single(setup):
     np.testing.assert_allclose(shard, single, atol=1e-6)
 
 
+def test_sharded_fast2_kernel_matches_single(setup):
+    """The row-lean v2 (headline/serving) kernel under shard_map, cone
+    cache replicated: sharded ≡ unsharded to fp-reassociation tolerance."""
+    from cloudscape_tpu.models.march_fast import (
+        BrickPack, build_cone_cache, march_bricks_v2,
+    )
+
+    noise, _, slut, params, _ = setup
+    bp = BrickPack.from_noise(noise)
+    cone = build_cone_cache(params, bp, 2, res=(8, 64, 64), chunk=4096)
+    mesh = sharding.make_mesh()
+    n = 64
+    shard = np.asarray(
+        sharding.render_hemisphere_sharded(mesh, n, params, (bp, cone), slut,
+                                           steps=8, light_steps=2,
+                                           kernel="fast2")
+    )
+    single = np.asarray(
+        march_bricks_v2(texel_directions(n), params, bp, slut, steps=8,
+                        light_steps=2, chunk=16384, capacity_frac=0.3,
+                        cone_cache=cone)
+    )
+    np.testing.assert_allclose(shard, single, atol=1e-6)
+
+
 def test_indivisible_rows_raise(setup):
     noise, _, slut, params, _ = setup
     mesh = sharding.make_mesh()
