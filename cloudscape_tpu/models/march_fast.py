@@ -1116,7 +1116,7 @@ def select_ray_keep_frac(keep_frac: float, margin: float = 1.06,
     return 1.0
 
 
-CAPACITY_BUCKETS = (0.09, 0.12, 0.15, 0.2, 0.25, 0.35, 0.5)
+CAPACITY_BUCKETS = (0.09, 0.12, 0.15, 0.18, 0.2, 0.22, 0.25, 0.3, 0.35, 0.5)
 
 
 def select_capacity_frac(occupied_frac: float, margin: float = 1.3,
