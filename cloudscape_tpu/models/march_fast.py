@@ -320,8 +320,14 @@ def _march_chunk(dirs, params: MarchParams, bp: BrickPack, atmos,
     return jnp.where(above[..., None], out, 0.0)
 
 
-def _compact_indices(mask_flat, capacity: int, total: int):
+def _compact_indices(mask_flat, capacity: int, total: int,
+                     return_rank: bool = False):
     """Indices of the first `capacity` True entries, padded with `total`.
+    With return_rank, also returns each element's exclusive rank among True
+    entries (valid where mask is True) — `mask & (rank < capacity)` is the
+    coverage test, computed from arrays this function already materializes
+    (an overflow `lax.cond` at this scale costs ~230 ms of plane copies,
+    measured in a device trace).
 
     Equivalent to jnp.nonzero(mask, size=capacity, fill_value=total), but
     TPU-shaped. jnp.nonzero lowers to a full SORT (~90 ms at 67M); the round-1
@@ -371,7 +377,13 @@ def _compact_indices(mask_flat, capacity: int, total: int):
                     indices_are_sorted=True)  # [capacity, 128]
     lane = jnp.argmax(rows == (r + 1)[:, None], axis=1).astype(jnp.int32)
     valid = (blk >= 0) & (r < rows[:, -1])
-    return jnp.where(valid, blk * C + lane, total)
+    idx = jnp.where(valid, blk * C + lane, total)
+    if return_rank:
+        rank = (row_off[:, None] + (lane_cum - m2)).reshape(-1)
+        if n_pad:
+            rank = rank[:n]
+        return idx, rank
+    return idx
 
 
 def _pad_blocks(flat, chunk, fill):
@@ -786,19 +798,34 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         ray_cap = max(int(n * ray_keep_frac), min(chunk, n))
         ray_cap += (-ray_cap) % min(chunk, n)
         ray_cap = min(ray_cap, n)
-        # Top ray_cap rays by priority, ascending index order (so the
-        # geometry take and the final scatter run with sorted flags).
-        # argsort, NOT lax.top_k: TPU TopK at k ≈ 0.6n is catastrophically
-        # slower than one full sort (~+400 ms at 524k rays, measured).
-        ridx = jnp.sort(jnp.argsort(-prio)[:ray_cap])
+        # Select ~the top ray_cap rays by priority WITHOUT a sort: histogram
+        # threshold (256 bins over the useful pre range) + index-order
+        # compaction of the rays above it. A full argsort costs ~116 ms at
+        # 524k rays on TPU (device trace; lax.top_k at k ≈ 0.6n is another
+        # ~400 ms worse); the histogram select is ~ms. Degradation under
+        # tight capacity drops the lowest-priority BIN first (bin width
+        # ~0.004 ≪ the 0.02 safety margin), and up to one boundary bin may
+        # go unused — covered by the bucket margin.
+        finite = jnp.isfinite(prio)
+        pb = jnp.clip((prio + 0.5) * 256.0, 0.0, 255.0).astype(jnp.int32)
+        hist = jnp.zeros((256,), jnp.int32).at[pb].add(
+            finite.astype(jnp.int32))
+        above_cnt = jnp.cumsum(hist[::-1])[::-1]  # rays with bin ≥ b
+        fits = above_cnt <= ray_cap
+        # First fitting bin; if even the top bin overflows (pathological
+        # undersizing), confine the arbitrary drops to the top bin.
+        bsel = jnp.where(jnp.any(fits), jnp.argmax(fits), 255)
+        ridx = _compact_indices(finite & (pb >= bsel), ray_cap, n)
+        valid_r = ridx < n
+        safe_r = jnp.minimum(ridx, n - 1)
         geom_r = jnp.concatenate(
             [p0, ndir, ss[:, None], phase[:, None]], axis=1)  # [n, 8]
-        g_r = jnp.take(geom_r, ridx, axis=0, indices_are_sorted=True)
+        g_r = jnp.take(geom_r, safe_r, axis=0, indices_are_sorted=True)
         p0 = g_r[:, 0:3]
         ndir = g_r[:, 3:6]
         ss = g_r[:, 6]
         phase = g_r[:, 7]
-        above = jnp.take(above, ridx, indices_are_sorted=True)
+        above = jnp.take(above, safe_r, indices_are_sorted=True) & valid_r
         n = ray_cap
     lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
     total = n * steps
@@ -882,7 +909,8 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         occupied &= live.reshape(-1, steps)[:n]
     capacity = max(int(total * capacity_frac), chunk)
     capacity += (-capacity) % chunk
-    idx = _compact_indices(occupied.reshape(-1), capacity, total)
+    idx, rank = _compact_indices(occupied.reshape(-1), capacity, total,
+                                 return_rank=True)
 
     # Per-ray geometry packed into ONE 8-lane row: a single row-latency per
     # staged sample instead of 7 separate narrow gathers (row latency
@@ -933,31 +961,21 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
             unique_indices=True,
         )[:total].reshape(n, steps)
 
-    def no_overflow(_):
-        return scatter_back(t_e), scatter_back(cd_e)
-
-    def with_fallback(_):
-        # Capacity overflow: the occupied samples that didn't fit get a
-        # graceful ALU-only fallback instead of rendering as holes — the
-        # erosion remap evaluated at the detail noise's MEAN (hfbm = 0.5
-        # makes the height blend a fixed 0.5 too), and no sun term (cd
-        # stays 0 → beers_total = 0). Keeps cloud bodies/alpha plausible
-        # under any occupancy; exactness is restored by sizing capacity
-        # (see select_capacity_frac / occupied_sample_fraction).
-        t0 = scatter_back(t_e)
-        cd0 = scatter_back(cd_e)
-        rank = jnp.cumsum(occupied.reshape(-1).astype(jnp.int32)) - 1
-        covered = (occupied.reshape(-1) & (rank < capacity)).reshape(n, steps)
-        base_fb = m.remap(pre, 0.5 * 0.4 * hf, 1.0, 0.0, 1.0)
-        t_fb = jnp.power(jnp.clip(base_fb, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5)
-        t_mix = jnp.where(covered, t0, jnp.where(occupied, t_fb, 0.0))
-        return t_mix, cd0
-
-    # The fallback branch is compiled but only EXECUTES on overflow (cond is
-    # a scalar branch, not a select) — zero steady-state cost when capacity
-    # covers the scene.
-    n_occ = jnp.sum(occupied)
-    t, cd = jax.lax.cond(n_occ <= capacity, no_overflow, with_fallback, None)
+    # Overflow handling as a fused WHERE, not a lax.cond: occupied samples
+    # beyond capacity (rank ≥ capacity — the rank comes free from the
+    # compaction's own cumsums) take a graceful ALU-only fallback — the
+    # erosion remap evaluated at the detail noise's MEAN (hfbm = 0.5 makes
+    # the height blend a fixed 0.5 too), and no sun term (cd stays 0 →
+    # beers_total = 0). With no overflow, covered ≡ occupied and this is
+    # bitwise the plain scatter result. A cond was measured at ~230 ms of
+    # plane operand/result copies + 84 ms body at frame scale (device
+    # trace) — far more than this select's one extra fused sweep.
+    covered = occupied & (rank.reshape(n, steps) < capacity)
+    base_fb = m.remap(pre, 0.5 * 0.4 * hf, 1.0, 0.0, 1.0)
+    t_fb = jnp.power(jnp.clip(base_fb, 0.0, 1.0), (1.0 - hf) * 0.8 + 0.5)
+    t = jnp.where(covered, scatter_back(t_e),
+                  jnp.where(occupied, t_fb, 0.0))
+    cd = scatter_back(cd_e)  # uncovered samples: 0 → no sun term
 
     # ---- Phase 3 (dense elementwise): same math as `_march_core`, computed
     # in per-channel COMPONENT PLANES — [n, steps, 3] intermediates put a
