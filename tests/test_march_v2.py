@@ -1,10 +1,15 @@
 """Gates for the row-lean v2 march (`_march_core2` / `march_bricks_v2`).
 
 v2 is position-matched to `march_bricks` (identical sample placement); its
-three approximations are gated here:
+approximations are gated here:
 - staged erosion behind `pre > 0` — exact by construction (the predicate is
-  exact), only capacity overflow can degrade it;
+  exact), only capacity overflow can degrade it (and overflow now takes a
+  graceful rank-selected ALU fallback);
 - cone density from the per-cycle ConeCache — resolution-controlled;
+- ray-level culling (priority prepass + histogram-threshold selection) —
+  margin + dilation guards, soft capacity;
+- the conservative occlusion cutoff (T_ub bound from pre-erosion density)
+  — error bounded by the cutoff itself;
 - optional along-ray weather lerp (weather_every > 1) — documented loss
   (the weather map's bilinear kinks at ~33 m undersample at node spacing),
   default is OFF (weather_every=1).
