@@ -149,14 +149,24 @@ def main() -> None:
               "clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
 
     if 5 in which:
-        # Config 5: hierarchical march, 2048×1024, 128 adaptive steps.
+        # Config 5: hierarchical march, 2048×1024, 128 adaptive steps —
+        # with the per-cycle cone cache (same state the engine/headline
+        # amortize; without it the fine phase pays the 17-row inline light
+        # march).
         sky, p = scene([0.3, 0.4, -0.85])
         dirs = jnp.asarray(hemisphere_dirs(2048, 1024))
-        f = jax.jit(lambda d, q: march_hierarchical(
-            d, q, bricks, sky, steps=128, chunk=32768, capacity_frac=0.08))
-        ms, out = _timed(f, dirs, p)
+        # (24,448,448): 37.0 dB at the hierarchical gate and ~100 MB of
+        # table -- the full (32,512,512) cache OOMs HBM next to the 2M-ray
+        # fine phase.
+        cc = jax.block_until_ready(jax.jit(lambda q: build_cone_cache(
+            q, bricks, 6, res=(24, 448, 448), chunk=65536))(p))
+        f = jax.jit(lambda d, q, c: march_hierarchical(
+            d, q, bricks, sky, steps=128, chunk=32768, capacity_frac=0.08,
+            cone_cache=c))
+        ms, out = _timed(f, dirs, p, cc)
         emit(5, "hierarchical_2048x1024x128", ms, 2048, 1024,
-             {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
+             {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3),
+              "cone_cache": "24x448x448"})
 
 
 if __name__ == "__main__":

@@ -373,11 +373,25 @@ def _compact_indices(mask_flat, capacity: int, total: int,
     off = jax.lax.cummax(off_of)
 
     r = jnp.arange(capacity, dtype=jnp.int32) - off
-    rows = jnp.take(lane_cum, jnp.maximum(blk, 0), axis=0,
-                    indices_are_sorted=True)  # [capacity, 128]
-    lane = jnp.argmax(rows == (r + 1)[:, None], axis=1).astype(jnp.int32)
-    valid = (blk >= 0) & (r < rows[:, -1])
-    idx = jnp.where(valid, blk * C + lane, total)
+
+    # Per-slot resolve, CHUNKED: the [capacity, 128] lane-cumsum gather is
+    # the whole function's peak buffer (10.25 GB at config-5's 21.5M
+    # capacity — an HBM OOM); a lax.map keeps one ≤1M-slot block live.
+    def resolve(args):
+        blk_c, off_c, r_c = args
+        rows = jnp.take(lane_cum, jnp.maximum(blk_c, 0), axis=0,
+                        indices_are_sorted=True)  # [block, 128]
+        lane = jnp.argmax(rows == (r_c + 1)[:, None], axis=1).astype(
+            jnp.int32)
+        valid = (blk_c >= 0) & (r_c < rows[:, -1])
+        return jnp.where(valid, blk_c * C + lane, total)
+
+    res_chunk = min(capacity, 1 << 20)
+    idx = jax.lax.map(resolve, (
+        _pad_blocks(blk, res_chunk, jnp.int32(-1)),
+        _pad_blocks(off, res_chunk, jnp.int32(0)),
+        _pad_blocks(r, res_chunk, jnp.int32(0)),
+    )).reshape(-1)[:capacity]
     if return_rank:
         rank = (row_off[:, None] + (lane_cum - m2)).reshape(-1)
         if n_pad:

@@ -69,6 +69,26 @@ def test_hierarchical_beats_fixed_at_equal_steps(setup):
     )
 
 
+def test_hierarchical_with_cone_cache_holds_gate(setup):
+    """The sweep's config-5 configuration (hierarchical + per-cycle cone
+    cache) must hold the same quality bar as the inline-light variant."""
+    from cloudscape_tpu.models.march_fast import build_cone_cache
+
+    bp, slut, params, dirs, gt = setup
+    # The sweep's shipped cone res (24,448,448): 37.0 dB here. Coarser
+    # (24,256,256) measured 34.7 dB — the cache's positional smoothing
+    # compounds with the redistributed sample placement; finer
+    # (32,512,512) OOMs HBM next to config 5's 2M-ray fine phase.
+    cc = build_cone_cache(params, bp, 6, res=(24, 448, 448), chunk=16384)
+    hier = np.asarray(
+        march_hierarchical(dirs, params, bp, slut, steps=64, chunk=1024,
+                           capacity_frac=0.5, coarse_steps=16,
+                           cone_cache=cc)
+    )
+    p = psnr(hier, gt)
+    assert p > 35.0, f"hierarchical+cone-cache {p:.1f} dB vs gt"
+
+
 def test_hierarchical_empty_sky_is_zero(setup):
     bp, slut, params, dirs, _ = setup
     import dataclasses
