@@ -996,7 +996,39 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     # 3-lane minor dim on the (8, 128) vreg tile (~40× padded traffic,
     # ~0.3 s/frame measured) — and CHUNKED through one lax.map so the ~20
     # elementwise passes fuse into a single HBM sweep of the three input
-    # planes instead of ~20 full-size unfused loops.
+    # planes instead of ~20 full-size unfused loops. On TPU at the
+    # production step count the whole phase runs as one Pallas kernel
+    # (cumprod + accumulation fused in VMEM: 67 → 56 ms device, and the
+    # step count of the phase no longer depends on XLA's fusion choices).
+    from cloudscape_tpu.ops import accum_pallas as _ap
+
+    if jax.default_backend() == "tpu" and steps == _ap.STEPS:
+        A = (-params.density) * t * ss[:, None]
+        cd3 = (-params.density * lss * 3.0) * cd
+        ph = jnp.broadcast_to(phase[:, None], (n, steps))
+        scal = jnp.concatenate([
+            jnp.asarray(atmosphere_sun, jnp.float32).reshape(-1)[:3],
+            jnp.asarray(atmosphere_ambient, jnp.float32).reshape(-1)[:3],
+            jnp.asarray(atmosphere_ground, jnp.float32).reshape(-1)[:3],
+            jnp.zeros((3,), jnp.float32),
+        ]).reshape(1, 12)
+        n_pad = (-n) % _ap.BLOCK
+        if n_pad:
+            z = jnp.zeros((n_pad, steps), jnp.float32)
+            A, cd3, hf_p, ph = (jnp.concatenate([A, z]),
+                                jnp.concatenate([cd3, z]),
+                                jnp.concatenate([hf, z]),
+                                jnp.concatenate([ph, z]))
+        else:
+            hf_p = hf
+        out = _ap.accumulate_pallas(A, cd3, hf_p, ph, scal)[:n]
+        if cull:
+            out = jnp.zeros((n_out + 1, 4), jnp.float32).at[ridx].set(
+                out, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )[:n_out]
+        return out
+
     def accum_chunk(args):
         tc, cdc, hfc, ssc, phasec, abovec = args
         dt = jnp.exp(-params.density * tc * ssc[:, None])
