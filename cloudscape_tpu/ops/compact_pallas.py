@@ -1,16 +1,21 @@
 """Pallas TPU kernel for stream compaction (the march's `_compact_indices`).
 
-STATUS: EXPERIMENTAL, NOT WIRED INTO THE MARCH. Interpreter-mode exact
-(tests/test_compact_pallas.py, incl. overflow/empty/full edges), and the
-v5e compile succeeds after two Mosaic workarounds (no cumsum primitive →
-roll-doubling prefixes; no i1 dynamic_rotate → int32 masks; an unrolled
-one-hot pack blew the 16 MB kernel stack → butterfly shifts), but the
-compiled kernel dies at RUNTIME with an undiagnosed 'TPU backend error
-(Internal)' at every scale, while micro-kernels of each primitive used
-(dynamic VMEM scalar reads, dynamic-offset window read-modify-write,
-dynamic [1,128] rotate, pl.when-guarded dynamic-offset DMA, when-wrapped
-stores in fori) all pass on the same chip. Parked as round-3 groundwork —
-the XLA `_compact_indices` (~0.23 s/frame) remains the production path.
+STATUS: PRODUCTION on TPU (the march routes sample compaction here when
+shapes permit): bit-identical to the XLA `_compact_indices` on hardware
+and **152 vs 245 ms** at headline scale (42M samples → 8.4M capacity).
+Five Mosaic hazards were found and worked around on the way (each
+bisected with micro-kernels on a v5e — see bench/ probes):
+
+1. no `cumsum` primitive → roll-doubling prefix sums;
+2. `tpu.dynamic_rotate` has no i1 support → int32 0/1 masks;
+3. a 128-way unrolled one-hot pack blew the 16 MB kernel stack
+   (~20.6 MB of live temporaries) → butterfly shift packing;
+4. dynamic-offset DMA with a non-8-multiple sublane offset or size dies
+   at RUNTIME with an opaque 'TPU backend error (Internal)' → all
+   windows 8-row aligned, 8-multiple sizes, an 8-row carry;
+5. `input_output_aliases` + a pl.when-guarded DMA (each fine alone)
+   also dies at runtime → no alias; the fill tail is masked in the
+   wrapper from the active count instead.
 
 Emits the flat indices of the first `capacity` True entries of a
 [nb, 128] mask plane, ascending, fill = total — plus each element's
@@ -43,17 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 ROWS = 256          # source rows per grid step
+STAGE_ROWS = ROWS + 16   # 8-row aligned head + worst-case appended span
 
 
-def _kernel(mask_ref, init_ref, idx_ref, rank_ref, cursor_ref, stage_ref,
+def _kernel(mask_ref, idx_ref, rank_ref, cursor_ref, stage_ref,
             carry_ref, aux_ref, sem_ref, *, capacity: int, total: int):
-    del init_ref  # aliased into idx_ref; only its initial contents matter
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         cursor_ref[0] = 0
-        carry_ref[:] = jnp.full((1, LANES), total, jnp.int32)
+        carry_ref[:] = jnp.full((8, LANES), total, jnp.int32)
 
     m = (mask_ref[:] > 0).astype(jnp.int32)        # [ROWS, 128]
     lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
@@ -109,10 +114,14 @@ def _kernel(mask_ref, init_ref, idx_ref, rank_ref, cursor_ref, stage_ref,
 
     def scoped(packed_ref):
         packed_ref[:] = packed
-        r0g = cur0 // LANES            # first output row this tile touches
-        fill = jnp.full((ROWS + 2, LANES), total, jnp.int32)
-        stage_ref[:] = fill
-        stage_ref[0:1, :] = carry_ref[:]
+        # Mosaic DMA hazard #1 (measured): dynamic-offset transfers must be
+        # 8-sublane-ALIGNED with 8-multiple sizes, or the kernel dies at
+        # runtime with an opaque Internal error. All windows here are
+        # aligned: the tile writes STAGE_ROWS rows at align8(cursor row),
+        # and an 8-row carry holds that aligned head across tiles.
+        r0a = (cur0 // LANES) & ~7     # aligned first output row
+        stage_ref[:] = jnp.full((STAGE_ROWS, LANES), total, jnp.int32)
+        stage_ref[0:8, :] = carry_ref[:]
 
         pos = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1) \
             + jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0) * LANES
@@ -123,7 +132,7 @@ def _kernel(mask_ref, init_ref, idx_ref, rank_ref, cursor_ref, stage_ref,
 
             @pl.when((c > 0) & (cur < capacity))
             def _():
-                loc = cur - r0g * LANES
+                loc = cur - r0a * LANES
                 d0 = loc // LANES
                 l0 = loc % LANES
                 rot = pltpu.roll(packed_ref[pl.ds(r, 1), :], l0, axis=1)
@@ -140,21 +149,23 @@ def _kernel(mask_ref, init_ref, idx_ref, rank_ref, cursor_ref, stage_ref,
 
         cap_rows = idx_ref.shape[0]
 
-        @pl.when(r0g <= cap_rows - (ROWS + 2))
+        # Mosaic DMA hazard #2 (measured): a pl.when-guarded DMA is only
+        # safe WITHOUT input_output_aliases (the combination also dies at
+        # runtime); the output is therefore NOT alias-prefilled — the
+        # wrapper masks the tail with the active count instead.
+        @pl.when(r0a <= cap_rows - STAGE_ROWS)
         def _():
             dma = pltpu.make_async_copy(
-                stage_ref, idx_ref.at[pl.ds(r0g, ROWS + 2), :], sem_ref)
+                stage_ref, idx_ref.at[pl.ds(r0a, STAGE_ROWS), :], sem_ref)
             dma.start()
             dma.wait()
 
-        # Carry = the (possibly partial) last output row, with lanes at or
-        # beyond the new cursor phase reset to fill.
+        # Carry = the 8-row aligned head of the NEXT tile's window (already
+        # holds fill beyond the cursor — the stage was fill-initialized).
         end_c = jnp.minimum(cur_end, capacity)
-        d_end = jnp.clip(end_c // LANES - r0g, 0, ROWS + 1)
-        l_end = end_c % LANES
-        last = stage_ref[pl.ds(d_end, 1), :]
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        carry_ref[:] = jnp.where(lane1 < l_end, last, total)
+        new_r0a = (end_c // LANES) & ~7
+        d_c = jnp.clip(new_r0a - r0a, 0, STAGE_ROWS - 8)
+        carry_ref[:] = stage_ref[pl.ds(d_c, 8), :]
 
     pl.run_scoped(scoped, pltpu.VMEM((ROWS, LANES), jnp.int32))
 
@@ -168,8 +179,7 @@ def compact_indices_pallas(mask, capacity: int, total: int,
     nb = mask.shape[0]
     assert mask.shape[1] == LANES and nb % ROWS == 0, mask.shape
     assert capacity % LANES == 0
-    cap_rows = capacity // LANES + ROWS + 4
-    init = jnp.full((cap_rows, LANES), total, jnp.int32)
+    cap_rows = capacity // LANES + STAGE_ROWS + 8
     grid = (nb // ROWS,)
     idx, rank = pl.pallas_call(
         partial(_kernel, capacity=capacity, total=total),
@@ -181,7 +191,6 @@ def compact_indices_pallas(mask, capacity: int, total: int,
         in_specs=[
             pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -190,12 +199,17 @@ def compact_indices_pallas(mask, capacity: int, total: int,
         ),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((ROWS + 2, LANES), jnp.int32),
-            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.VMEM((STAGE_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
             pltpu.VMEM((ROWS, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={1: 0},
         interpret=interpret,
-    )(mask.astype(jnp.int32), init)
-    return idx.reshape(-1)[:capacity], rank
+    )(mask.astype(jnp.int32))
+    # Tail fixup (replaces the alias-prefill — Mosaic hazard #2): slots at
+    # or past the active count are fill by definition; rows the kernel
+    # never DMA'd would otherwise hold garbage.
+    n_occ = jnp.minimum(jnp.sum((mask > 0).astype(jnp.int32)), capacity)
+    idx = idx.reshape(-1)[:capacity]
+    return jnp.where(jnp.arange(capacity, dtype=jnp.int32) < n_occ, idx,
+                     total), rank
