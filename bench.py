@@ -204,6 +204,10 @@ def main() -> None:
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 4),
+                # Honest cold-start accounting (VERDICT r2 #7): the same
+                # ratio against the bake-INCLUSIVE single-shot number, until
+                # the bake is fully amortized per-frame.
+                "vs_baseline_with_bake": round(BASELINE_MS / (ms + cone_ms), 4),
                 "mrays_per_sec_per_chip": round(mrays, 2),
                 "march_steps": STEPS,
                 "cone_build_ms": round(cone_ms, 1),

@@ -78,6 +78,32 @@ def cubemap_directions(size: int):
                        jnp.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def cubemap_solid_angles(size: int):
+    """[6, size, size] per-texel solid angles (cosine-cubed approximation
+    sa ≈ (2/size)² / ‖(u, v, 1)‖³ — exact enough at probe sizes)."""
+    t = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+    u, v = np.meshgrid(t, t, indexing="xy")
+    sa = (2.0 / size) ** 2 / np.power(u * u + v * v + 1.0, 1.5)
+    return jnp.asarray(np.broadcast_to(sa, (6, size, size)), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("exponent",))
+def _prefilter_mip(colors, dirs_in, sa_in, dirs_out, *, exponent: float):
+    """One roughness mip by spherical convolution: every output direction
+    integrates the WHOLE base cubemap under a normalized Phong lobe
+    max(d_out·d_in, 0)^exponent (the cosine-power stand-in for Godot's GGX
+    prefilter at probe sizes — `clouds_sky.tres:8` radiance semantics).
+    Computed as one [n_out, n_in] matmul — MXU-shaped, seam-free (no
+    per-face boundary handling needed)."""
+    w = jnp.maximum(dirs_out @ dirs_in.T, 0.0)
+    if exponent != 1.0:
+        w = jnp.power(w, exponent)
+    w = w * sa_in[None, :]
+    out = w @ colors
+    return out / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
@@ -152,34 +178,66 @@ def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "mesh", "axis_name", "capacity_frac"),
+                     "kernel", "mesh", "axis_name", "capacity_frac",
+                     "ray_keep_frac"),
     donate_argnums=(0,),
 )
 def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
-                      sky_img, *, texture_size: int, region: int, steps: int,
-                      light_steps: int, kernel: str, mesh, axis_name: str,
-                      capacity_frac: float = 0.5):
+                      sky_img, prio_map=None, *, texture_size: int,
+                      region: int, steps: int, light_steps: int, kernel: str,
+                      mesh, axis_name: str, capacity_frac: float = 0.5,
+                      ray_keep_frac: float | None = None):
     """Multi-chip tile update: the tile's rays are sharded over the mesh
     rows (shard_map, zero collectives inside the march — rays share only
     replicated read-only inputs), the ring stays replicated (28 MB at the
     reference's 768² default — cheaper than sharding state that every
-    display composite reads in full)."""
+    display composite reads in full).
+
+    prio_map + ray_keep_frac enable per-tile ray culling under the mesh:
+    the per-cycle priority map is computed once (replicated — one 768² f32
+    is 2.3 MB), the tile's window is sliced here and sharded with the rays,
+    and each shard culls its own row block to the shared bucket (the
+    histogram threshold is per-shard, so a sharded culled tile is
+    tolerance-equal, not bitwise-equal, to the unsharded culled tile —
+    gated in tests/test_sharding.py)."""
     from jax.sharding import PartitionSpec as P
 
     dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
                             height=region)
+    cull_prio = None
+    if prio_map is not None and ray_keep_frac is not None:
+        cull_prio = jax.lax.dynamic_slice(prio_map, (y0, x0),
+                                          (region, region))
 
-    def shard_fn(d, p, n, s):
+    def shard_fn(d, p, n, s, cp=None):
         return _march_tile(d, p, n, s, region=max(d.shape[0], 1),
                            steps=steps, light_steps=light_steps,
-                           kernel=kernel, capacity_frac=capacity_frac)
+                           kernel=kernel, capacity_frac=capacity_frac,
+                           ray_keep_frac=ray_keep_frac, cull_prio=cp)
 
-    tile = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(axis_name), P(), P(), P()),
-        out_specs=P(axis_name),
-    )(dirs, params, noise, sky_img)
+    if cull_prio is None:
+        tile = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis_name), P(), P(), P()),
+            out_specs=P(axis_name),
+        )(dirs, params, noise, sky_img)
+    else:
+        tile = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis_name), P(), P(), P(), P(axis_name)),
+            out_specs=P(axis_name),
+        )(dirs, params, noise, sky_img, cull_prio)
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
+
+
+@partial(jax.jit, static_argnames=("region",), donate_argnums=(0,))
+def _clear_tile(ring, tex_idx, x0, y0, *, region: int):
+    """Empty-sky tile write (the tile-cull 0.0 bucket): a tile whose whole
+    priority window sits below the cull margin renders exactly what the
+    march returns for all-culled rays — zeros — so the march is skipped
+    entirely."""
+    zeros = jnp.zeros((1, region, region, 4), jnp.float32)
+    return jax.lax.dynamic_update_slice(ring, zeros, (tex_idx, y0, x0, 0))
 
 
 @partial(
@@ -220,7 +278,8 @@ def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
-                     "kernel", "deband", "capacity_frac", "ray_keep_frac"),
+                     "kernel", "deband", "capacity_frac", "ray_keep_frac",
+                     "skip_march"),
     donate_argnums=(0,),
 )
 def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
@@ -230,25 +289,32 @@ def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
                         region: int, steps: int, light_steps: int,
                         kernel: str, deband: bool = False,
                         capacity_frac: float = 0.5,
-                        ray_keep_frac: float | None = None):
+                        ray_keep_frac: float | None = None,
+                        skip_march: bool = False):
     """One display frame in ONE device dispatch: tile update + composite.
 
     The split `update_sky()` + `render_view()` path pays two dispatches
     (~60 ms relay RTT each through the axon tunnel); the serving path fuses
-    them (VERDICT r1 next-#5). Returns (new_ring, frame)."""
+    them (VERDICT r1 next-#5). skip_march (the tile-cull 0.0 bucket) writes
+    the provably-empty tile as zeros — exactly the all-culled march result —
+    and keeps only the composite. Returns (new_ring, frame)."""
     from cloudscape_tpu.models.compositor import composite_display
     from cloudscape_tpu.ops.brick import build_brick2_device
 
-    dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
-                            height=region)
-    cull_prio = None
-    if prio_map is not None and ray_keep_frac is not None:
-        cull_prio = jax.lax.dynamic_slice(prio_map, (y0, x0),
-                                          (region, region))
-    tile = _march_tile(dirs, params, noise, sky_ring[sky_slot], region=region,
-                       steps=steps, light_steps=light_steps, kernel=kernel,
-                       capacity_frac=capacity_frac,
-                       ray_keep_frac=ray_keep_frac, cull_prio=cull_prio)
+    if skip_march:
+        tile = jnp.zeros((region, region, 4), jnp.float32)
+    else:
+        dirs = texel_directions(texture_size, x0=x0, y0=y0, width=region,
+                                height=region)
+        cull_prio = None
+        if prio_map is not None and ray_keep_frac is not None:
+            cull_prio = jax.lax.dynamic_slice(prio_map, (y0, x0),
+                                              (region, region))
+        tile = _march_tile(dirs, params, noise, sky_ring[sky_slot],
+                           region=region, steps=steps,
+                           light_steps=light_steps, kernel=kernel,
+                           capacity_frac=capacity_frac,
+                           ray_keep_frac=ray_keep_frac, cull_prio=cull_prio)
     ring = jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
     # Display blending is linear, so it commutes with the bilinear fetch:
     # blend the texture PAIRS once per frame, rebrick (trivial: ~11k gather
@@ -308,12 +374,15 @@ class CloudSkyEngine:
         rays sharded over the mesh's first axis (ICI), state replicated.
         The tile edge must divide the mesh size.
 
-        tile_cull (fast2, no mesh): per-tile ray culling from a per-cycle
-        priority map — FrameData is frozen for a whole cycle, so one cheap
-        prepass at rotation scores every texel, and each tile dispatch
-        marches only its scored-occupied rays (bucketed capacity, soft
-        degradation; ≥40 dB gated in tests/test_engine.py). Skips the
-        march entirely on empty-sky tiles. Default off: culled tiles are
+        tile_cull (fast2): per-tile ray culling from a per-cycle priority
+        map — FrameData is frozen for a whole cycle, so one cheap prepass
+        at rotation scores every texel, and each tile dispatch marches only
+        its scored-occupied rays (bucketed capacity, soft degradation;
+        ≥40 dB gated in tests/test_engine.py). A tile whose whole window
+        scores empty takes the 0.0 bucket: the march is skipped and zeros
+        (exactly the all-culled result) are written. Composes with `mesh`
+        (the priority map is computed replicated and each shard culls its
+        row block — tests/test_sharding.py). Default off: culled tiles are
         not bitwise-identical to unculled ones (the amortized ≡ monolithic
         invariant holds only within a mode)."""
         if kernel not in ("fast", "fast2", "reference"):
@@ -321,7 +390,7 @@ class CloudSkyEngine:
         self.kernel = kernel
         self.cone_res = tuple(cone_res)
         self.mesh = mesh
-        self.tile_cull = bool(tile_cull) and kernel == "fast2" and mesh is None
+        self.tile_cull = bool(tile_cull) and kernel == "fast2"
         self._prio_map = None
         self._tile_buckets = None
         self.perf = perf.validate()
@@ -461,7 +530,7 @@ class CloudSkyEngine:
             if self.tile_cull:
                 self._refresh_tile_cull()
 
-    _TILE_BUCKETS = (0.25, 0.5, 0.75, 1.0)
+    _TILE_BUCKETS = (0.0, 0.25, 0.5, 0.75, 1.0)
 
     def _refresh_tile_cull(self) -> None:
         """Per-cycle tile-cull state: one full-texture priority prepass
@@ -505,10 +574,11 @@ class CloudSkyEngine:
         done = getattr(self, "_warmed_tile_buckets", set())
         for b in sorted(want - done):
             scratch = self.cloud_ring + 0.0  # donated away by the call
-            _update_tile(
-                scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                self._march_params, self._noise_arg, self.sky_ring[0],
-                self._prio_map,
+            if b == 0.0:
+                _clear_tile(scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                            region=self.perf.update_region_size)
+                continue
+            common = dict(
                 texture_size=self.perf.texture_size,
                 region=self.perf.update_region_size,
                 steps=self.perf.march_steps,
@@ -517,6 +587,19 @@ class CloudSkyEngine:
                 capacity_frac=0.5,
                 ray_keep_frac=b,
             )
+            if self.mesh is not None:
+                _update_tile_mesh(
+                    scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    self._march_params, self._noise_arg, self.sky_ring[0],
+                    self._prio_map, mesh=self.mesh,
+                    axis_name=self.mesh.axis_names[0], **common,
+                )
+            else:
+                _update_tile(
+                    scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    self._march_params, self._noise_arg, self.sky_ring[0],
+                    self._prio_map, **common,
+                )
         self._warmed_tile_buckets = done | want
 
     def _warm_fused_variants(self, eyedirs, deband: bool) -> None:
@@ -530,6 +613,27 @@ class CloudSkyEngine:
         done = warmed.get(key, set())
         for b in sorted(want - done):
             scratch = self.cloud_ring + 0.0
+            if b == 0.0:
+                _render_frame_fused(
+                    scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+                    jnp.int32(1), self._march_params, self._noise_arg,
+                    jnp.int32(0), self.transmittance, eyedirs,
+                    jnp.float32(0.5),
+                    jnp.asarray(self.frame_data.light_direction, jnp.float32),
+                    jnp.float32(self.config.sun_disk_scale),
+                    None,
+                    texture_size=self.perf.texture_size,
+                    region=self.perf.update_region_size,
+                    steps=self.perf.march_steps,
+                    light_steps=self.perf.light_steps,
+                    kernel=self.kernel,
+                    deband=deband,
+                    capacity_frac=0.5,
+                    ray_keep_frac=None,
+                    skip_march=True,
+                )
+                continue
             _render_frame_fused(
                 scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
                 jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
@@ -553,7 +657,9 @@ class CloudSkyEngine:
 
     def _tile_cull_args(self, x0: int, y0: int):
         """(prio_map, ray_keep_frac) for the tile at (x0, y0) — (None,
-        None) when culling is off or the tile's bucket is 1.0."""
+        None) when culling is off or the tile's bucket is 1.0; ray_keep_frac
+        == 0.0 means the tile is provably empty sky (skip the march and
+        write zeros)."""
         if not self.tile_cull or self._tile_buckets is None:
             return None, None
         region = self.perf.update_region_size
@@ -562,6 +668,8 @@ class CloudSkyEngine:
                                + (x0 // region)]
         if b >= 1.0:
             return None, None
+        if b == 0.0:
+            return None, 0.0
         return self._prio_map, b
 
     @property
@@ -689,13 +797,21 @@ class CloudSkyEngine:
             self._noise_arg,
             self.sky_ring[self.ring.cloud_kernel_sky_slot],
         )
-        if self.mesh is not None:
+        prio_map, rk = self._tile_cull_args(*self.ring.update_position)
+        if rk is not None and rk == 0.0:
+            self.cloud_ring = _clear_tile(
+                self.cloud_ring,
+                jnp.int32(self.ring.texture_to_update),
+                jnp.int32(self.ring.update_position[0]),
+                jnp.int32(self.ring.update_position[1]),
+                region=self.perf.update_region_size,
+            )
+        elif self.mesh is not None:
             self.cloud_ring = _update_tile_mesh(
-                *args, mesh=self.mesh, axis_name=self.mesh.axis_names[0],
-                **common,
+                *args, prio_map, ray_keep_frac=rk, mesh=self.mesh,
+                axis_name=self.mesh.axis_names[0], **common,
             )
         else:
-            prio_map, rk = self._tile_cull_args(*self.ring.update_position)
             self.cloud_ring = _update_tile(*args, prio_map,
                                            ray_keep_frac=rk, **common)
         self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
@@ -727,14 +843,44 @@ class CloudSkyEngine:
             deband=deband,
         )
 
-    def render_radiance_map(self, size: int = 32) -> jax.Array:
+    def render_radiance_map(self, size: int = 32, prefilter: bool = False):
         """Environment-probe render — the analog of the Sky resource's
         radiance cubemap (`cloud_sky/clouds_sky.tres:8` `radiance_size = 1`,
         Godot's RADIANCE_SIZE_32): the current sky composited over a 6-face
         cubemap so scene reflections can sample it. Face order/orientation
         follows the GL cubemap convention (+X, -X, +Y, -Y, +Z, -Z).
-        Returns [6, size, size, 3] linear HDR."""
-        return self.render_view(cubemap_directions(size))
+
+        prefilter=False returns the sharp [6, size, size, 3] linear-HDR
+        cubemap. prefilter=True returns the full roughness mip chain Godot's
+        Sky resource bakes for specular IBL — a list of [6, s, s, 3] levels
+        at s = size, size/2, …, 4; level k is the base level convolved with
+        a normalized cosine-power lobe whose exponent follows the standard
+        roughness ladder α = 2/r² − 2 at r = k / n_mips (spherical
+        convolution over the whole sphere, so face seams are exact)."""
+        base = self.render_view(cubemap_directions(size))
+        if not prefilter:
+            return base
+        mips = [base]
+        n_in = 6 * size * size
+        dirs_in = cubemap_directions(size).reshape(n_in, 3)
+        sa_in = cubemap_solid_angles(size).reshape(n_in)
+        colors = base.reshape(n_in, 3)
+        sizes = []
+        s = size
+        while s > 4:
+            s //= 2
+            sizes.append(s)
+        if not sizes:
+            sizes = [max(size // 2, 1)]
+        n_mips = len(sizes)
+        for k, s in enumerate(sizes, start=1):
+            r = k / n_mips
+            exponent = max(2.0 / (r * r) - 2.0, 1.0) if r < 1.0 else 1.0
+            out = _prefilter_mip(colors, dirs_in, sa_in,
+                                 cubemap_directions(s).reshape(-1, 3),
+                                 exponent=float(exponent))
+            mips.append(out.reshape(6, s, s, 3))
+        return mips
 
     def render_frame(self, eyedirs, now: Optional[float] = None,
                      amortized: bool = True, fused: Optional[bool] = None,
@@ -774,6 +920,9 @@ class CloudSkyEngine:
         self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
         b0, b1 = self.ring.sky_back_textures
         prio_map, rk = self._tile_cull_args(*self.ring.update_position)
+        skip = rk is not None and rk == 0.0
+        if skip:
+            rk = None
         eyedirs = jnp.asarray(eyedirs, jnp.float32)
         if self.tile_cull and self._tile_buckets is not None:
             self._warm_fused_variants(eyedirs, deband)
@@ -804,6 +953,7 @@ class CloudSkyEngine:
             deband=deband,
             capacity_frac=0.5,
             ray_keep_frac=rk,
+            skip_march=skip,
         )
         self.ring.advance_cursor(self.perf.update_region_size,
                                  self.perf.texture_size)

@@ -544,10 +544,10 @@ def build_cone_cache(params: MarchParams, bp: BrickPack,
                                           light_steps),
             cx, cy, cz,
         )
-        cd = jnp.zeros((n + 1,), jnp.float32).at[idx].set(
+        cd = jnp.zeros((n,), jnp.float32).at[idx].set(
             cd_c, mode="drop", indices_are_sorted=True,
             unique_indices=True,
-        )[:n]
+        )
 
     vol = cd.reshape(nd, nh, nw, 1)
     table = build_brick3_device(vol, (8, 4, 4), (7, 3, 3), wrap="clamp")
@@ -640,9 +640,9 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
             (ax.reshape(-1, chunk), ay.reshape(-1, chunk),
              az.reshape(-1, chunk)),
         ).reshape(-1)
-    cd = jnp.zeros((total + 1,), jnp.float32).at[idx].set(
+    cd = jnp.zeros((total,), jnp.float32).at[idx].set(
         cd_active, mode="drop", indices_are_sorted=True, unique_indices=True,
-    )[:total].reshape(n, steps)
+    ).reshape(n, steps)
 
     beers = jnp.exp(-params.density * cd * lss * 3.0)
     powder = 1.0 - jnp.exp(-params.density * cd * lss * 6.0)
@@ -737,6 +737,17 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
     return prio
 
 
+def _ray_capacity(n: int, ray_keep_frac: float, align: int = 256) -> int:
+    """Culled-ray capacity: ray_keep_frac·n rounded UP to a small lane
+    alignment (256 keeps every downstream reshape/DMA 8×128-tile friendly),
+    capped at n. Round 2 floored this at a full lax.map chunk, which made
+    engine tile culling structurally inert (ray_cap == n for every region ≤
+    chunk — ADVICE r2); the alignment floor keeps real culling at tile scale
+    (region 96 → 9216 rays → bucket 0.25 keeps 2304)."""
+    cap = max(int(n * ray_keep_frac + align - 1) // align * align, align)
+    return min(cap, n)
+
+
 def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                  bp: BrickPack, atmos, steps: int, chunk: int,
                  capacity_frac: float, cone_cache: "ConeCache",
@@ -809,9 +820,10 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
             prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
                                   prepass_steps, chunk, cull_shape,
                                   ray_stride)
-        ray_cap = max(int(n * ray_keep_frac), min(chunk, n))
-        ray_cap += (-ray_cap) % min(chunk, n)
-        ray_cap = min(ray_cap, n)
+        ray_cap = _ray_capacity(n, ray_keep_frac)
+        # Every later phase is ray-proportional: shrink the lax.map chunk to
+        # the culled ray count so _pad_blocks doesn't pad 4× at tile scale.
+        chunk = min(chunk, ray_cap)
         # Select ~the top ray_cap rays by priority WITHOUT a sort: histogram
         # threshold (256 bins over the useful pre range) + index-order
         # compaction of the rays above it. A full argsort costs ~116 ms at
@@ -977,13 +989,15 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
     cd_e = jax.lax.map(cone_chunk, exc + (t_e,))
     # Two 1-D scatters (a packed [total, 2] scatter pads its 2-lane minor dim
     # to the 128-lane vreg tile — 64× write traffic, measured +3 s/frame).
-    # Fill rows all target the discarded slot `total`, so sorted+unique flags
-    # hold for every kept row.
+    # Fill rows all carry index `total` — OUT of bounds for the (total,)
+    # buffer, so mode="drop" discards them and the sorted+unique flags hold
+    # honestly (fill slots repeating an in-bounds index would violate the
+    # unique_indices contract — ADVICE r2).
     def scatter_back(vals):
-        return jnp.zeros((total + 1,), jnp.float32).at[idx].set(
+        return jnp.zeros((total,), jnp.float32).at[idx].set(
             vals.reshape(-1), mode="drop", indices_are_sorted=True,
             unique_indices=True,
-        )[:total].reshape(n, steps)
+        ).reshape(n, steps)
 
     # Overflow handling as a fused WHERE, not a lax.cond: occupied samples
     # beyond capacity (rank ≥ capacity — the rank comes free from the
@@ -1033,10 +1047,11 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
             hf_p = hf
         out = _ap.accumulate_pallas(A, cd3, hf_p, ph, scal)[:n]
         if cull:
-            out = jnp.zeros((n_out + 1, 4), jnp.float32).at[ridx].set(
+            # ridx fill = n_out, out of bounds → dropped (unique holds).
+            out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
                 out, mode="drop", indices_are_sorted=True,
                 unique_indices=True,
-            )[:n_out]
+            )
         return out
 
     def accum_chunk(args):
@@ -1074,10 +1089,11 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         _pad_blocks(above, chunk, jnp.bool_(False)),
     )).reshape(-1, 4)[:n]
     if cull:
-        # Scatter kept-ray results back (culled/overflow rays = empty sky).
-        out = jnp.zeros((n_out + 1, 4), jnp.float32).at[ridx].set(
+        # Scatter kept-ray results back (culled/overflow rays = empty sky);
+        # ridx fill = n_out, out of bounds → dropped (unique holds).
+        out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
             out, mode="drop", indices_are_sorted=True, unique_indices=True,
-        )[:n_out]
+        )
     return out
 
 
@@ -1376,9 +1392,9 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                         bp, atmos, steps, light_steps, chunk, capacity_frac,
                         t_cutoff, approx_light, cone_cache)
 
-    out = jnp.zeros((n + 1, 4), jnp.float32).at[ridx].set(
-        out_r, mode="drop"
-    )[:n]
+    out = jnp.zeros((n, 4), jnp.float32).at[ridx].set(
+        out_r, mode="drop", indices_are_sorted=True, unique_indices=True,
+    )
     return out.reshape(shape + (4,))
 
 

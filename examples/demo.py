@@ -7,6 +7,12 @@ writes tonemapped camera frames as PNGs.
     python examples/demo.py --frames 8 --out /tmp/cloud_demo
     python examples/demo.py --size 768 --frames-to-update 64  # reference scale
 
+The default kernel is the production serving path bench.py times — fast2
+(staged march + per-cycle cone cache) with per-tile culling; `--serve` runs
+the fused per-display-frame `render_frame` loop (tile tick + composite in ONE
+dispatch), the exact analog of the reference's per-frame operating mode
+(`cloud_sky.gd:129-163`).
+
 Runs on whatever JAX platform is default (the TPU under axon). Add --cpu to
 force the host backend.
 """
@@ -40,6 +46,11 @@ def camera_rays(width: int, height: int, yaw: float = 0.0,
     return d / np.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def tile_rays_serve(engine, args) -> int:
+    """Rays marched per serving tick: one tile plus the camera composite."""
+    return engine.perf.update_region_size ** 2 + args.width * args.height
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/cloud_demo")
@@ -53,12 +64,29 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=300)
     ap.add_argument("--coverage", type=float, default=0.4)
     ap.add_argument("--wind-speed", type=float, default=30.0)
-    ap.add_argument("--kernel", default="fast", choices=("fast", "reference"))
+    ap.add_argument("--kernel", default="fast2",
+                    choices=("fast2", "fast", "reference"),
+                    help="fast2 = the production serving path (staged march "
+                         "+ cone cache; bench.py's path)")
+    ap.add_argument("--tile-cull", dest="tile_cull", action="store_true",
+                    default=None,
+                    help="per-tile ray culling from the per-cycle priority "
+                         "map (default: on for fast2)")
+    ap.add_argument("--no-tile-cull", dest="tile_cull", action="store_false")
+    ap.add_argument("--cone-res", default="32,512,512",
+                    help="fast2 cone-cache resolution hf,z,x")
     ap.add_argument("--ticked", action="store_true",
                     help="per-frame tile ticks (display mode) instead of "
                          "one batched cycle dispatch per output frame")
+    ap.add_argument("--serve", action="store_true",
+                    help="serving mode: fused per-display-frame "
+                         "render_frame loop (tile tick + composite in one "
+                         "dispatch) — the path bench.py's per_tile_ms times; "
+                         "writes every (frames_to_update)-th display frame")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.tile_cull is None:
+        args.tile_cull = args.kernel == "fast2"
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -85,10 +113,37 @@ def main() -> None:
                                wind_speed=args.wind_speed, sun_disk_scale=2.0,
                                ground_color=(0.270588, 0.188235, 0.027451, 1.0)),
             kernel=args.kernel,
+            cone_res=tuple(int(v) for v in args.cone_res.split(",")),
+            tile_cull=args.tile_cull,
         )
         timer.fence(engine.transmittance)
 
     eyedirs = jnp.asarray(camera_rays(args.width, args.height), jnp.float32)
+
+    if args.serve:
+        # Serving mode: one fused render_frame per display tick — the exact
+        # executable bench.py's per_tile_ms times. The sun sweeps across the
+        # whole run; every frames_to_update-th display frame is written.
+        total_ticks = args.frames * args.frames_to_update
+        sim_t = 0.0
+        for tick in range(total_ticks):
+            elevation = np.pi * (0.12 + 0.55 * tick / max(total_ticks - 1, 1))
+            sun = np.array([np.cos(elevation), np.sin(elevation), -0.35])
+            sun /= np.linalg.norm(sun)
+            engine.set_sun(tuple(sun), energy=1.0)
+            sim_t += 1.0 / 60.0
+            with timer.stage("render_frame",
+                             rays=tile_rays_serve(engine, args)):
+                img = engine.render_frame(eyedirs, now=sim_t)
+                timer.fence(img)
+            if tick % args.frames_to_update == args.frames_to_update - 1:
+                frame = tick // args.frames_to_update
+                path = os.path.join(args.out, f"frame_{frame:03d}.png")
+                write_png(path, tonemap_aces(np.asarray(img) * 2.0))
+                print(f"tick {tick}: sun {np.degrees(elevation):5.1f}°  → {path}")
+        print("\n--- timings ---")
+        print(timer.report())
+        return
 
     # Dawn → dusk sweep; ticks per output frame = one full amortized cycle so
     # the sun motion stays below the blend window (README.md:22 of the

@@ -1,7 +1,8 @@
-"""Experimental Pallas streaming compaction ≡ jnp.nonzero (Mosaic
-interpreter; see the module docstring for why it is NOT in the production
-path yet — the compiled v5e kernel currently dies with an undiagnosed
-runtime error)."""
+"""Pallas streaming compaction ≡ jnp.nonzero (Mosaic interpreter on the CPU
+suite). The kernel is PRODUCTION on TPU — `_march_core2` routes sample
+compaction through it when shapes permit (152 vs 245 ms isolated at headline
+scale, bit-identical on hardware; the five Mosaic hazards worked around on
+the way are listed in the ops/compact_pallas.py module docstring)."""
 
 import numpy as np
 import jax.numpy as jnp

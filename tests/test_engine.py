@@ -145,6 +145,65 @@ def test_tile_cull_matches_unculled(tiny_noise):
     assert p > 40.0, f"tile-culled engine {p:.1f} dB vs unculled"
 
 
+def test_tile_cull_actually_culls():
+    """ADVICE r2 (medium): the round-2 ray-capacity floor of a full lax.map
+    chunk made engine tile culling structurally inert (ray_cap == n for every
+    region ≤ chunk). The alignment floor must produce a genuinely smaller
+    kept-ray capacity at the shipped tile scale."""
+    from cloudscape_tpu.models.march_fast import _ray_capacity
+
+    # Shipped defaults: 768² map / 64 frames → 96² tiles = 9216 rays; the
+    # engine tile chunk is min(region², 16384) = 9216 (the inert case).
+    assert _ray_capacity(9216, 0.25) == 2304
+    assert _ray_capacity(9216, 0.5) == 4608
+    assert _ray_capacity(9216, 0.75) == 6912
+    # Floor: one alignment block; cap: never more than n.
+    assert _ray_capacity(256, 0.25) == 256
+    assert _ray_capacity(100, 0.5) == 100
+    # Headline scale rounds UP to the alignment.
+    assert _ray_capacity(524288, 0.55) == 288512
+    # ray_cap·steps stays divisible by the Pallas compaction tile (8·128).
+    assert (_ray_capacity(9216, 0.25) * 128) % 1024 == 0
+
+
+def test_tile_cull_skip_bucket(tiny_noise):
+    """The 0.0 bucket: a tile whose whole priority window is empty sky skips
+    the march entirely and writes zeros — bitwise what the march returns for
+    all-culled rays. Forcing every bucket to 0.0 exercises both the
+    update_sky skip path (_clear_tile) and the fused render_frame skip
+    variant deterministically."""
+    region = 8
+    b = CloudSkyEngine(
+        perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=(0.3, 0.5, -0.8)),
+        noise=tiny_noise,
+        kernel="fast2",
+        cone_res=(4, 16, 16),
+        tile_cull=True,
+    )
+    b.update_sky(now=0.0)  # warm start + first tick (cursor now at tile 1)
+    b._tile_buckets = [0.0] * len(b._tile_buckets)
+
+    tex = b.ring.texture_to_update
+    x0, y0 = b.ring.update_position
+    b.update_sky(now=0.0)
+    tile = np.asarray(b.cloud_ring)[tex, y0:y0 + region, x0:x0 + region]
+    np.testing.assert_array_equal(tile, 0.0)
+
+    # Fused serving path with the skip variant.
+    tex = b.ring.texture_to_update
+    x0, y0 = b.ring.update_position
+    gx, gy = np.meshgrid(np.linspace(-0.3, 0.3, 8),
+                         np.linspace(0.1, 0.5, 8), indexing="xy")
+    eye = np.stack([gx, gy, np.full((8, 8), -1.0)], axis=-1)
+    frame = b.render_frame(eye.astype(np.float32), now=0.0)
+    assert np.isfinite(np.asarray(frame)).all()
+    tile = np.asarray(b.cloud_ring)[tex, y0:y0 + region, x0:x0 + region]
+    np.testing.assert_array_equal(tile, 0.0)
+
+
 @pytest.mark.slow
 def test_shipped_geometry_ratio_amortized_cycle(tiny_noise):
     """Geometry-faithful ratio of the reference's shipped operating point
@@ -478,3 +537,35 @@ def test_render_radiance_map(engine):
     d = np.asarray(cubemap_directions(8))
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
     assert (d[2][..., 1] > 0).all() and (d[3][..., 1] < 0).all()
+
+
+def test_render_radiance_map_prefilter(engine):
+    """Prefiltered radiance mips (VERDICT r2 #9, `clouds_sky.tres:8`
+    radiance semantics): each level must be a plausibly-filtered version of
+    the one above — smaller, energy-preserving (the convolution lobes are
+    normalized), finite, and with monotonically shrinking contrast."""
+    engine.update_sky(now=0.0)
+    mips = engine.render_radiance_map(size=16, prefilter=True)
+    assert [np.asarray(m).shape for m in mips] == [
+        (6, 16, 16, 3), (6, 8, 8, 3), (6, 4, 4, 3)]
+    mips = [np.asarray(m) for m in mips]
+    for m in mips:
+        assert np.isfinite(m).all() and (m >= 0).all()
+
+    from cloudscape_tpu.engine import cubemap_solid_angles
+
+    # Solid angles tile the sphere: Σ sa = 4π.
+    for s in (8, 16):
+        np.testing.assert_allclose(float(cubemap_solid_angles(s).sum()),
+                                   4.0 * np.pi, rtol=1e-2)
+    # Energy: the solid-angle-weighted mean radiance is preserved by the
+    # normalized convolution (loose tolerance — lobes overlap the horizon).
+    def wmean(m, s):
+        sa = np.asarray(cubemap_solid_angles(s))
+        return (m * sa[..., None]).sum() / sa.sum() / 3.0
+
+    m0, m1 = wmean(mips[0], 16), wmean(mips[1], 8)
+    assert abs(m1 - m0) < 0.35 * max(m0, 1e-9)
+    # Contrast shrinks down the chain (low-pass filtering).
+    assert mips[1].std() < mips[0].std() + 1e-9
+    assert mips[2].std() < mips[1].std() + 1e-9
