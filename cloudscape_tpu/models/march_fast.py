@@ -410,6 +410,29 @@ def _pad_blocks(flat, chunk, fill):
     return flat.reshape((-1, chunk) + flat.shape[1:])
 
 
+def _ceil_to(v: int, mult: int) -> int:
+    return (v + mult - 1) // mult * mult
+
+
+def _compact_mask(mask_flat, capacity: int, total: int):
+    """Indices of the first `capacity` True entries (ascending, fill=total):
+    the Pallas streaming kernel when shapes permit (row-padding the mask to
+    the kernel's grid multiple — padded rows are all-False, so the result
+    is identical), XLA `_compact_indices` otherwise."""
+    from cloudscape_tpu.ops import compact_pallas as _cp
+
+    if (jax.default_backend() == "tpu" and total % _cp.LANES == 0
+            and capacity % _cp.LANES == 0):
+        m2 = mask_flat.reshape(-1, _cp.LANES)
+        pad_rows = (-m2.shape[0]) % _cp.ROWS
+        if pad_rows:
+            m2 = jnp.concatenate(
+                [m2, jnp.zeros((pad_rows, _cp.LANES), m2.dtype)])
+        idx, _ = _cp.compact_indices_pallas(m2, capacity, total)
+        return idx
+    return _compact_indices(mask_flat, capacity, total)
+
+
 def _march_compact(flat, params: MarchParams, bp: BrickPack, atmos,
                    steps: int, light_steps: int, chunk: int,
                    capacity_frac: float, t_cutoff: float,
@@ -667,15 +690,28 @@ def _dilate_max(m2):
     return jnp.maximum(d, jnp.maximum(jnp.roll(d, 1, 1), jnp.roll(d, -1, 1)))
 
 
-def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
-                   steps: int, prepass_steps: int, chunk: int,
-                   cull_shape: tuple | None, ray_stride: int = 1):
-    """Per-ray cull priority: max `pre` over `prepass_steps` coarse exact
-    samples (pre is the unclamped coverage margin, smooth along the ray),
-    with a 3×3 neighbor bonus (−0.1) when the 2-D ray grid is known, and
-    −inf below the horizon. Shared by `_march_core2`'s ray cull and
-    `ray_keep_fraction` so capacity sizing sees exactly what the kernel
-    ranks.
+def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
+                  steps: int, prepass_steps: int, chunk: int,
+                  cull_shape: tuple | None, ray_stride: int = 1,
+                  cell_margin: float | None = None):
+    """Coarse exact prepass shared by the ray cull and (v3) cell staging.
+
+    Returns (prio, occ_cells, meta):
+
+    - prio [n]: per-ray cull priority — max `pre` over `prepass_steps`
+      coarse exact samples (pre is the unclamped coverage margin, smooth
+      along the ray), with a 3×3 neighbor bonus (−0.1) when the 2-D ray
+      grid is known, and −inf below the horizon. Shared by `_march_core2`'s
+      ray cull and `ray_keep_fraction` so capacity sizing sees exactly what
+      the kernel ranks.
+    - occ_cells [n_coarse, prepass_steps] bool (None when cell_margin is
+      None): per-(coarse-ray, coarse-cell) occupancy `pre > -cell_margin`,
+      dilated 3×3 across rays (when the grid is known) and ±1 along the
+      ray. Cell k's prepass sample sits at fine step (k+1)·(steps/P) — its
+      END — so the ±1 along-ray dilation brackets every fine step of a
+      marked cell between probed positions.
+    - meta (hs, ws, stride) mapping full-ray ids to occ_cells rows (None
+      when the 1-D fallback applies — occ_cells is then per full ray).
 
     ray_stride > 1 (needs the 2-D grid with divisible dims) scores only
     every stride-th ray per axis and nearest-upsamples the dilated
@@ -685,6 +721,7 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
     n = ndir.shape[0]
     i_pre = (jnp.arange(prepass_steps, dtype=jnp.float32) + 1.0) \
         * float(steps // prepass_steps)
+    cells = cell_margin is not None
 
     def prepass_chunk(args):
         p0c, ndirc, ssc = args
@@ -694,7 +731,9 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
         pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
         w = _weather_rb_xy(bp, px, pz, params.weather_pos)
         pre_p, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
-        return jnp.max(pre_p, axis=1)
+        if not cells:
+            return jnp.max(pre_p, axis=1)
+        return jnp.max(pre_p, axis=1), pre_p > -cell_margin
 
     grid = cull_shape is not None and len(cull_shape) == 2
     sub = ray_stride > 1 and grid \
@@ -715,11 +754,30 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
 
     up0 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     chunk_p = min(chunk, n_p)
-    prio = jax.lax.map(prepass_chunk, (
+    mapped = jax.lax.map(prepass_chunk, (
         _pad_blocks(p0_p, chunk_p, up0 * GROUND_RADIUS),
         _pad_blocks(ndir_p, chunk_p, up0),
         _pad_blocks(ss_p, chunk_p, jnp.float32(1.0)),
-    )).reshape(-1)[:n_p]
+    ))
+    occ_cells = None
+    meta = None
+    if cells:
+        prio, occ = mapped
+        occ = occ.reshape(-1, prepass_steps)[:n_p]
+        if grid:
+            gh, gw = (hs, ws) if sub else cull_shape
+            o = occ.reshape(gh, gw, prepass_steps)
+            o = o | jnp.roll(o, 1, 0) | jnp.roll(o, -1, 0)
+            o = o | jnp.roll(o, 1, 1) | jnp.roll(o, -1, 1)
+            occ = o.reshape(n_p, prepass_steps)
+            meta = (gh, gw, ray_stride if sub else 1)
+        pad0 = jnp.zeros_like(occ[:, :1])
+        occ_cells = occ \
+            | jnp.concatenate([pad0, occ[:, :-1]], axis=1) \
+            | jnp.concatenate([occ[:, 1:], pad0], axis=1)
+    else:
+        prio = mapped
+    prio = prio.reshape(-1)[:n_p]
     neg_inf = jnp.float32(-jnp.inf)
     prio = jnp.where(above_p, prio, neg_inf)
     if sub:
@@ -727,14 +785,43 @@ def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
                          _dilate_max(prio.reshape(hs, ws)) - 0.1)
         prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
                           axis=1).reshape(-1)
-        return jnp.where(above, prio, neg_inf)
+        return jnp.where(above, prio, neg_inf), occ_cells, meta
     if grid:
         m2 = prio.reshape(cull_shape)
         prio = jnp.where(above,
                          jnp.maximum(prio.reshape(-1),
                                      _dilate_max(m2).reshape(-1) - 0.1),
                          neg_inf)
-    return prio
+    return prio, occ_cells, meta
+
+
+def _cull_priority(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
+                   steps: int, prepass_steps: int, chunk: int,
+                   cull_shape: tuple | None, ray_stride: int = 1):
+    """Priority-only view of `_cull_prepass` (the v2 / engine cull path)."""
+    return _cull_prepass(above, ndir, ss, p0, params, bp, steps,
+                         prepass_steps, chunk, cull_shape, ray_stride)[0]
+
+
+def _select_top_rays(prio, ray_cap, n):
+    """Indices (ascending, fill=n) of ~the top ray_cap rays by priority
+    WITHOUT a sort: histogram threshold (256 bins over the useful pre
+    range) + index-order compaction of the rays above it. A full argsort
+    costs ~116 ms at 524k rays on TPU (device trace; lax.top_k at
+    k ≈ 0.6n is another ~400 ms worse); the histogram select is ~ms.
+    Degradation under tight capacity drops the lowest-priority BIN first
+    (bin width ~0.004 ≪ the 0.02 safety margin), and up to one boundary
+    bin may go unused — covered by the bucket margin."""
+    finite = jnp.isfinite(prio)
+    pb = jnp.clip((prio + 0.5) * 256.0, 0.0, 255.0).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[pb].add(
+        finite.astype(jnp.int32))
+    above_cnt = jnp.cumsum(hist[::-1])[::-1]  # rays with bin ≥ b
+    fits = above_cnt <= ray_cap
+    # First fitting bin; if even the top bin overflows (pathological
+    # undersizing), confine the arbitrary drops to the top bin.
+    bsel = jnp.where(jnp.any(fits), jnp.argmax(fits), 255)
+    return _compact_indices(finite & (pb >= bsel), ray_cap, n)
 
 
 def _ray_capacity(n: int, ray_keep_frac: float, align: int = 256) -> int:
@@ -824,24 +911,7 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         # Every later phase is ray-proportional: shrink the lax.map chunk to
         # the culled ray count so _pad_blocks doesn't pad 4× at tile scale.
         chunk = min(chunk, ray_cap)
-        # Select ~the top ray_cap rays by priority WITHOUT a sort: histogram
-        # threshold (256 bins over the useful pre range) + index-order
-        # compaction of the rays above it. A full argsort costs ~116 ms at
-        # 524k rays on TPU (device trace; lax.top_k at k ≈ 0.6n is another
-        # ~400 ms worse); the histogram select is ~ms. Degradation under
-        # tight capacity drops the lowest-priority BIN first (bin width
-        # ~0.004 ≪ the 0.02 safety margin), and up to one boundary bin may
-        # go unused — covered by the bucket margin.
-        finite = jnp.isfinite(prio)
-        pb = jnp.clip((prio + 0.5) * 256.0, 0.0, 255.0).astype(jnp.int32)
-        hist = jnp.zeros((256,), jnp.int32).at[pb].add(
-            finite.astype(jnp.int32))
-        above_cnt = jnp.cumsum(hist[::-1])[::-1]  # rays with bin ≥ b
-        fits = above_cnt <= ray_cap
-        # First fitting bin; if even the top bin overflows (pathological
-        # undersizing), confine the arbitrary drops to the top bin.
-        bsel = jnp.where(jnp.any(fits), jnp.argmax(fits), 255)
-        ridx = _compact_indices(finite & (pb >= bsel), ray_cap, n)
+        ridx = _select_top_rays(prio, ray_cap, n)
         valid_r = ridx < n
         safe_r = jnp.minimum(ridx, n - 1)
         geom_r = jnp.concatenate(
@@ -1015,15 +1085,30 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                   jnp.where(occupied, t_fb, 0.0))
     cd = scatter_back(cd_e)  # uncovered samples: 0 → no sun term
 
-    # ---- Phase 3 (dense elementwise): same math as `_march_core`, computed
-    # in per-channel COMPONENT PLANES — [n, steps, 3] intermediates put a
-    # 3-lane minor dim on the (8, 128) vreg tile (~40× padded traffic,
-    # ~0.3 s/frame measured) — and CHUNKED through one lax.map so the ~20
-    # elementwise passes fuse into a single HBM sweep of the three input
-    # planes instead of ~20 full-size unfused loops. On TPU at the
-    # production step count the whole phase runs as one Pallas kernel
-    # (cumprod + accumulation fused in VMEM: 67 → 56 ms device, and the
-    # step count of the phase no longer depends on XLA's fusion choices).
+    out = _accumulate_phase3(t, cd, hf, ss, phase, above, params, atmos,
+                             lss, steps, chunk)
+    if cull:
+        # Scatter kept-ray results back (culled/overflow rays = empty sky);
+        # ridx fill = n_out, out of bounds → dropped (unique holds).
+        out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
+            out, mode="drop", indices_are_sorted=True, unique_indices=True,
+        )
+    return out
+
+
+def _accumulate_phase3(t, cd, hf, ss, phase, above, params: MarchParams,
+                       atmos, lss, steps: int, chunk: int):
+    """Phase 3 (dense elementwise, shared by `_march_core2`/`_march_core3`):
+    same math as `_march_core`, computed in per-channel COMPONENT PLANES —
+    [n, steps, 3] intermediates put a 3-lane minor dim on the (8, 128) vreg
+    tile (~40× padded traffic, ~0.3 s/frame measured) — and CHUNKED through
+    one lax.map so the ~20 elementwise passes fuse into a single HBM sweep
+    of the three input planes instead of ~20 full-size unfused loops. On TPU
+    at the production step count the whole phase runs as one Pallas kernel
+    (cumprod + accumulation fused in VMEM: 67 → 56 ms device, and the step
+    count of the phase no longer depends on XLA's fusion choices)."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    n = t.shape[0]
     from cloudscape_tpu.ops import accum_pallas as _ap
 
     if jax.default_backend() == "tpu" and steps == _ap.STEPS:
@@ -1045,14 +1130,7 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
                                 jnp.concatenate([ph, z]))
         else:
             hf_p = hf
-        out = _ap.accumulate_pallas(A, cd3, hf_p, ph, scal)[:n]
-        if cull:
-            # ridx fill = n_out, out of bounds → dropped (unique holds).
-            out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
-                out, mode="drop", indices_are_sorted=True,
-                unique_indices=True,
-            )
-        return out
+        return _ap.accumulate_pallas(A, cd3, hf_p, ph, scal)[:n]
 
     def accum_chunk(args):
         tc, cdc, hfc, ssc, phasec, abovec = args
@@ -1080,7 +1158,7 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         out = jnp.stack([L[0], L[1], L[2], alpha], axis=-1)
         return jnp.where(abovec[..., None], out, 0.0)
 
-    out = jax.lax.map(accum_chunk, (
+    return jax.lax.map(accum_chunk, (
         _pad_blocks(t, chunk, jnp.float32(0.0)),
         _pad_blocks(cd, chunk, jnp.float32(0.0)),
         _pad_blocks(hf, chunk, jnp.float32(0.0)),
@@ -1088,8 +1166,222 @@ def _march_core2(above, ndir, ss, p0, phase, params: MarchParams,
         _pad_blocks(phase, chunk, jnp.float32(0.0)),
         _pad_blocks(above, chunk, jnp.bool_(False)),
     )).reshape(-1, 4)[:n]
+
+
+def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
+                 bp: BrickPack, atmos, steps: int, chunk: int,
+                 cell_keep_frac: float, cone_cache: "ConeCache",
+                 ray_keep_frac: float | None = None,
+                 prepass_steps: int = 32, cull_shape: tuple | None = None,
+                 ray_stride: int = 1, cell_margin: float = 0.1,
+                 hot_keep_frac: float = 0.5):
+    """Window-staged march core (the v3 headline variant — VERDICT r2 #1).
+
+    `_march_core2` still marches ALL `steps` samples of every kept ray
+    through the dense weather+pre gather streams, even though the staged
+    occupancy on the bench scene is ~0.09 — the dense streams are the
+    measured frame floor (~0.49 s of 1.06 s, docs/PERF_NOTES.md round-2
+    close-out). v3 removes the dense phase entirely:
+
+    1. The SAME coarse cull prepass that scores rays also emits per-ray
+       coarse-CELL occupancy (`_cull_prepass`: prepass_steps cells per ray,
+       each covering steps/prepass_steps consecutive fine steps;
+       `pre > -cell_margin` at the probe, dilated 3×3 across rays and ±1
+       along the ray). Outside a dilated-live cell, `pre ≤ 0` to margin
+       conservatism → density exactly 0 → zero contribution.
+    2. ONE sample compaction over the cell-gated mask replaces core2's
+       `pre > 0` compaction; ALL FOUR gather streams (weather, large-noise
+       pre, detail erosion, cone cache) then run only on compacted live
+       samples — fine sample PLACEMENT is unchanged (hierarchical
+       redistribution was the measured-negative static-window variant; the
+       cell gate keeps v1/v2's exact step lattice, so quality holds by
+       construction wherever the coarse gate is conservative).
+    3. t / cd / hf are scattered back to [n, steps] planes (fill 0 — dead
+       samples contribute nothing: radiance ∝ t and 1−dt = 0) and phase 3
+       runs unchanged (`_accumulate_phase3`).
+
+    cell_keep_frac sizes the compacted sample list as a fraction of
+    n·steps AFTER ray culling; overflow drops the highest-index cells
+    (far-grid rays) — size it from `v3_auto_policy` with margin. The
+    occlusion cutoff is intentionally absent (it needs a dense pre plane;
+    the cell gate removes far more work than the cutoff ever did).
+
+    Matches `/root/reference/README.md:28` (TODO #1, hierarchical
+    marching) applied to `clouds.glsl:172-212`'s hot loop."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    n = ndir.shape[0]
+    n_out = n
+    P = prepass_steps
+    assert steps % P == 0, "prepass_steps must divide steps"
+    spc = steps // P
+
+    prio, occ_cells, meta = _cull_prepass(
+        above, ndir, ss, p0, params, bp, steps, P, chunk, cull_shape,
+        ray_stride, cell_margin)
+
+    cull = ray_keep_frac is not None and ray_keep_frac < 1.0
     if cull:
-        # Scatter kept-ray results back (culled/overflow rays = empty sky);
+        ray_cap = _ray_capacity(n, ray_keep_frac)
+        chunk = min(chunk, ray_cap)
+        ridx = _select_top_rays(prio, ray_cap, n)
+        valid_r = ridx < n
+        safe_r = jnp.minimum(ridx, n - 1)
+        geom_r = jnp.concatenate(
+            [p0, ndir, ss[:, None], phase[:, None]], axis=1)  # [n, 8]
+        g_r = jnp.take(geom_r, safe_r, axis=0, indices_are_sorted=True)
+        p0 = g_r[:, 0:3]
+        ndir = g_r[:, 3:6]
+        ss = g_r[:, 6]
+        phase = g_r[:, 7]
+        above = jnp.take(above, safe_r, indices_are_sorted=True) & valid_r
+        ray_ids = safe_r
+        n = ray_cap
+    else:
+        ray_ids = None
+
+    # Per-(kept-)ray live-cell rows from the prepass's coarse grid.
+    if meta is not None:
+        gh, gw, stride = meta
+        W = cull_shape[1]
+        if ray_ids is None:
+            if stride == 1:
+                occ_rows = occ_cells
+            else:
+                o = occ_cells.reshape(gh, 1, gw, 1, P)
+                o = jnp.broadcast_to(o, (gh, stride, gw, stride, P))
+                occ_rows = o.reshape(n, P)
+        else:
+            ci = (ray_ids // W // stride) * gw + (ray_ids % W) // stride
+            occ_rows = jnp.take(occ_cells, ci, axis=0,
+                                indices_are_sorted=True)
+    elif ray_ids is None:
+        occ_rows = occ_cells
+    else:
+        occ_rows = jnp.take(occ_cells, ray_ids, axis=0,
+                            indices_are_sorted=True)
+    live = occ_rows & above[:, None]  # [n, P]
+
+    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
+    total = n * steps
+    total_cells = n * P
+
+    # ---- Live-CELL compaction (one compaction at 1/spc the sample count).
+    cap_c = min(_ceil_to(max(int(total_cells * cell_keep_frac), chunk), chunk),
+                _ceil_to(total_cells, chunk))
+    cidx = _compact_mask(live.reshape(-1), cap_c, total_cells)
+    valid_c = cidx < total_cells
+    ray_i = jnp.minimum(cidx // P, n - 1)
+    cell_k = (cidx % P).astype(jnp.float32)
+
+    # Per-ray geometry packed into ONE 8-lane row, gathered once per CELL
+    # (¼ the rows of a per-sample gather); positions for the cell's spc
+    # samples expand as LANE-MAJOR flat planes — lane l's block is a
+    # [cap_c] slice, so no [cap_c, spc] minor-dim array (which would pad
+    # its spc lanes to the 128-lane vreg tile) is ever materialized.
+    geom = jnp.concatenate(
+        [p0, ndir, ss[:, None], jnp.zeros_like(ss[:, None])], axis=1
+    )  # [n, 8] (p0 xyz, ndir xyz, ss, pad)
+    g = jnp.take(geom, ray_i, axis=0, indices_are_sorted=True)
+
+    def lane_positions(gg, ck):
+        parts = []
+        for axis in range(3):
+            lanes = [
+                gg[:, axis] + gg[:, 3 + axis]
+                * (gg[:, 6] * (ck * spc + float(l + 1)))
+                for l in range(spc)
+            ]
+            parts.append(jnp.concatenate(lanes))
+        return parts  # [M] each, lane-major (lane 0 block, lane 1 block, …)
+
+    sx, sy, sz = lane_positions(g, cell_k)
+
+    # ---- Live passes (single-gather-stream rule): weather row, then
+    # large-noise pre row, over all live samples.
+    def weather_chunk(blk):
+        bx, bz = blk
+        w = _weather_rb_xy(bp, bx, bz, params.weather_pos)
+        return w[..., 0], w[..., 1]
+
+    def pre_chunk(blk):
+        bx, by_, bz, bwr, bwb = blk
+        weather = jnp.stack([bwr, bwb], axis=-1)
+        return _density_pre_xyz(bx, by_, bz, weather, 0.0, params, bp)
+
+    exc = (sx.reshape(-1, chunk), sy.reshape(-1, chunk),
+           sz.reshape(-1, chunk))
+    w_r, w_b = jax.lax.map(weather_chunk, (exc[0], exc[2]))
+    pre_s, hf_s = jax.lax.map(pre_chunk, exc + (w_r, w_b))
+    pre_s = pre_s.reshape(spc, cap_c)
+    hf_s = hf_s.reshape(spc, cap_c)
+
+    # ---- HOT-cell sub-compaction: `pre > 0` is the exact occupancy
+    # predicate (erosion only reduces density, pre ≤ 0 remaps to exactly
+    # 0), so the expensive erosion + cone streams run only on cells with
+    # any occupied sample. Overflow drops the highest-index hot cells —
+    # covered by the bucket margin (`v3_auto_policy`).
+    hot = jnp.any(pre_s > 0.0, axis=0) & valid_c  # [cap_c]
+    cap_h = min(_ceil_to(max(int(cap_c * hot_keep_frac), chunk), chunk),
+                cap_c)
+    hidx = _compact_mask(hot, cap_h, cap_c)
+    hsafe = jnp.minimum(hidx, cap_c - 1)
+    valid_h = hidx < cap_c
+    cidx_h = jnp.where(valid_h,
+                       jnp.take(cidx, hsafe, indices_are_sorted=True),
+                       total_cells)
+    ray_h = jnp.minimum(cidx_h // P, n - 1)
+    cell_h = (cidx_h % P).astype(jnp.float32)
+    g_h = jnp.take(geom, ray_h, axis=0, indices_are_sorted=True)
+    hx, hy, hz = lane_positions(g_h, cell_h)
+    pre_h = jnp.concatenate(
+        [jnp.take(pre_s[l], hsafe, indices_are_sorted=True)
+         for l in range(spc)])
+    hf_h = m.height_fraction(jnp.sqrt(hx * hx + hy * hy + hz * hz),
+                             SKY_B_RADIUS, SKY_T_RADIUS)
+
+    def erosion_chunk(blk):
+        bpre, bhf, bx, by_, bz = blk
+        t_c = _density_finish_xyz(bpre, bhf, bx, by_, bz, 0.0, params, bp)
+        return jnp.where(bpre > 0.0, t_c, 0.0)
+
+    def cone_chunk(blk):
+        bx, by_, bz, bt = blk
+        qx, qz, qh = _cone_cache_coords_xyz(bx, by_, bz, cone_cache.extent)
+        cd_blk = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
+        return jnp.where(bt > 0.0, cd_blk, 0.0)
+
+    hxc = (hx.reshape(-1, chunk), hy.reshape(-1, chunk),
+           hz.reshape(-1, chunk))
+    t_h = jax.lax.map(erosion_chunk,
+                      (pre_h.reshape(-1, chunk), hf_h.reshape(-1, chunk))
+                      + hxc)
+    cd_h = jax.lax.map(cone_chunk, hxc + (t_h,))
+
+    # ---- Scatter t / cd / hf to [n, steps] planes from the HOT list only
+    # (dead and unoccupied samples are 0 in all three planes — radiance ∝ t
+    # and 1 − dt = 0, so fill 0 is exact). Per-LANE 1-D scatters: each
+    # lane's plane indices are strictly ascending (cidx_h is), fill rows go
+    # out of bounds and are dropped, so sorted+unique hold honestly.
+    base_h = jnp.where(valid_h, ray_h * steps
+                       + (cidx_h % P) * spc, total)
+
+    def scatter_plane(vals):
+        vals = vals.reshape(spc, cap_h)
+        buf = jnp.zeros((total,), jnp.float32)
+        for l in range(spc):
+            buf = buf.at[base_h + l].set(
+                vals[l], mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+        return buf.reshape(n, steps)
+
+    t = scatter_plane(t_h)
+    cd = scatter_plane(cd_h)
+    hf = scatter_plane(hf_h)
+
+    out = _accumulate_phase3(t, cd, hf, ss, phase, above, params, atmos,
+                             lss, steps, chunk)
+    if cull:
         # ridx fill = n_out, out of bounds → dropped (unique holds).
         out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
             out, mode="drop", indices_are_sorted=True, unique_indices=True,
@@ -1247,6 +1539,157 @@ def v2_auto_policy(dirs, params: MarchParams, bp: BrickPack,
     if cap_cut < cap_plain:
         return rk, cap_cut, 1e-4, occ_cut
     return rk, cap_plain, 0.0, occ_plain
+
+
+@partial(jax.jit, static_argnames=("steps", "prepass_steps", "chunk",
+                                   "ray_stride", "cell_margin",
+                                   "prepass_margin"))
+def cull_cell_stats(dirs, params: MarchParams, bp: BrickPack,
+                    steps: int = 128, prepass_steps: int = 32,
+                    chunk: int = 32768, ray_stride: int = 2,
+                    cell_margin: float = 0.1, prepass_margin: float = 0.02):
+    """(keep_frac, cell_frac) for sizing `march_bricks_v3`'s buckets: the
+    cull-prepass ray keep fraction (as `ray_keep_fraction`) and the mean
+    dilated-live-CELL fraction over all rays — both from the kernel's own
+    `_cull_prepass`, so the buckets cover exactly what the kernel gates.
+    One prepass-scale device call; parameters are frozen per cycle
+    (FrameData semantics), so call once per cycle / scene."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
+    prio, occ_cells, meta = _cull_prepass(
+        above, ndir, ss, p0, params, bp, steps, prepass_steps,
+        min(chunk, max(flat.shape[0], 1)),
+        shape if len(shape) == 2 else None, ray_stride, cell_margin)
+    keep = jnp.mean((prio > -prepass_margin).astype(jnp.float32))
+    if meta is not None and meta[2] > 1:
+        gh, gw, stride = meta
+        o = occ_cells.reshape(gh, 1, gw, 1, -1)
+        occ_full = jnp.broadcast_to(
+            o, (gh, stride, gw, stride, o.shape[-1])
+        ).reshape(flat.shape[0], -1)
+    else:
+        occ_full = occ_cells
+    live = occ_full & above[:, None]
+    return keep, jnp.mean(live.astype(jnp.float32))
+
+
+CELL_BUCKETS = (0.1, 0.12, 0.15, 0.18, 0.22, 0.25, 0.3, 0.35, 0.4, 0.5,
+                0.65, 0.8, 1.0)
+
+
+def select_cell_keep_frac(cell_frac: float, margin: float = 1.25,
+                          buckets=CELL_BUCKETS) -> float:
+    """Smallest cell-capacity bucket ≥ margin × measured live-cell fraction
+    (static jit argument). Overflow in `_march_core3` drops the
+    highest-index live cells (no fallback — unlike core2's per-sample
+    overflow the cell gate has no dense pre plane to fall back on), so the
+    margin is deliberately generous; live cells are cheap (~5 gather rows
+    per sample vs the whole dense phase they replace)."""
+    need = cell_frac * margin
+    for b in buckets:
+        if need <= b:
+            return b
+    return 1.0
+
+
+@partial(jax.jit, static_argnames=("steps", "prepass_steps", "stride",
+                                   "chunk"))
+def hot_cell_fraction(dirs, params: MarchParams, bp: BrickPack,
+                      steps: int = 128, prepass_steps: int = 32,
+                      stride: int = 8, chunk: int = 16384):
+    """Fraction of (ray, coarse-cell) blocks with any EXACT `pre > 0`
+    sample — the quantity that sizes `_march_core3`'s hot sub-capacity.
+    Probes every `stride`-th ray at the full fine step count (the hot
+    predicate is exact, so only the ray subsample approximates)."""
+    flat = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)[::stride]
+    above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
+    spc = steps // prepass_steps
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+
+    def dense_chunk(args):
+        p0c, ndirc, ssc = args
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        w = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        pre_c, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
+        return pre_c > 0.0
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    nr = flat.shape[0]
+    ch = min(chunk, max(nr, 1))
+    occ = jax.lax.map(dense_chunk, (
+        _pad_blocks(p0, ch, up * GROUND_RADIUS),
+        _pad_blocks(ndir, ch, up),
+        _pad_blocks(ss, ch, jnp.float32(1.0)),
+    )).reshape(-1, steps)[:nr]
+    hot = jnp.any(occ.reshape(nr, prepass_steps, spc), axis=2) \
+        & above[:, None]
+    return jnp.mean(hot.astype(jnp.float32))
+
+
+def v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
+                   steps: int = 128, ray_stride: int = 2,
+                   cell_margin: float = 0.1, prepass_steps: int = 32):
+    """Scene-adaptive knobs for `march_bricks_v3`, measured once per
+    cycle/scene (host-side; two probe-scale device calls). Returns
+    (ray_keep_frac, cell_keep_frac, hot_keep_frac, cell_frac, hot_frac):
+
+    - ray bucket from the cull keep fraction (as `v2_auto_policy`);
+    - live-cell bucket from the dilated-live-cell fraction WITHIN the
+      kept-ray capacity (cell_frac / ray bucket — kept rays hold ≥ the
+      live cells of dropped ones up to the margin band);
+    - hot bucket from the exact occupied-cell fraction within the live
+      capacity, margin 1.5 (overflow drops hot cells with no fallback)."""
+    keep, cell_frac = (float(v) for v in cull_cell_stats(
+        dirs, params, bp, steps=steps, ray_stride=ray_stride,
+        cell_margin=cell_margin, prepass_steps=prepass_steps))
+    hot_frac = float(hot_cell_fraction(dirs, params, bp, steps=steps,
+                                       prepass_steps=prepass_steps))
+    rk = select_ray_keep_frac(keep)
+    ck = select_cell_keep_frac(cell_frac / max(rk, 1e-6))
+    hk = select_cell_keep_frac(hot_frac / max(rk * ck, 1e-6), margin=1.5)
+    return rk, ck, hk, cell_frac, hot_frac
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
+                                   "cell_keep_frac", "cone_res",
+                                   "ray_keep_frac", "prepass_steps",
+                                   "ray_stride", "cell_margin",
+                                   "hot_keep_frac"))
+def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
+                    steps: int = 128, light_steps: int = 6,
+                    chunk: int = 32768, cell_keep_frac: float = 0.5,
+                    cone_cache: "ConeCache | None" = None,
+                    cone_res=(32, 512, 512),
+                    ray_keep_frac: float | None = None,
+                    prepass_steps: int = 32, ray_stride: int = 1,
+                    cell_margin: float = 0.1, hot_keep_frac: float = 0.5):
+    """Window-staged fast march (the v3 headline path): `_march_core3` over
+    world directions — v2's staged machinery with the dense phase replaced
+    by coarse-cell-gated sample compaction from the shared cull prepass.
+    Position-matched to `march_bricks` / `march_bricks_v2` (identical fine
+    sample placement); the cell gate's conservatism is margin+dilation
+    (gated ≥ 40 dB in tests/test_march_v3.py). Size the buckets with
+    `v3_auto_policy`."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    atmos = ambient_colors(params, sky_lut_img)
+    if cone_cache is None:
+        cone_cache = build_cone_cache(params, bp, light_steps, res=cone_res,
+                                      chunk=min(chunk, max(n, 1)))
+    above, ndir, ss, p0, phase, _ = _ray_setup(flat, params, steps)
+    out = _march_core3(above, ndir, ss, p0, phase, params, bp, atmos,
+                       steps, min(chunk, max(n, 1)), cell_keep_frac,
+                       cone_cache, ray_keep_frac, prepass_steps,
+                       shape if len(shape) == 2 else None, ray_stride,
+                       cell_margin, hot_keep_frac)
+    return out.reshape(shape + (4,))
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
