@@ -1377,7 +1377,27 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
 
     t = scatter_plane(t_h)
     cd = scatter_plane(cd_h)
-    hf = scatter_plane(hf_h)
+
+    # hf plane: pure-ALU dense recompute (positions + height_fraction, no
+    # gathers) — cheaper than a third capacity-sized scatter, and exact for
+    # every sample (same float ops as the gathered passes).
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+
+    def hf_chunk(args):
+        p0c, ndirc, ssc = args
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        return m.height_fraction(jnp.sqrt(px * px + py * py + pz * pz),
+                                 SKY_B_RADIUS, SKY_T_RADIUS)
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    hf = jax.lax.map(hf_chunk, (
+        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+    )).reshape(-1, steps)[:n]
 
     out = _accumulate_phase3(t, cd, hf, ss, phase, above, params, atmos,
                              lss, steps, chunk)
@@ -1575,18 +1595,24 @@ def cull_cell_stats(dirs, params: MarchParams, bp: BrickPack,
     return keep, jnp.mean(live.astype(jnp.float32))
 
 
-CELL_BUCKETS = (0.1, 0.12, 0.15, 0.18, 0.22, 0.25, 0.3, 0.35, 0.4, 0.5,
-                0.65, 0.8, 1.0)
+CELL_BUCKETS = (0.1, 0.125, 0.15, 0.175, 0.2, 0.225, 0.25, 0.275, 0.3,
+                0.325, 0.35, 0.375, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7,
+                0.8, 0.9, 1.0)
 
 
-def select_cell_keep_frac(cell_frac: float, margin: float = 1.25,
+def select_cell_keep_frac(cell_frac: float, margin: float = 1.12,
                           buckets=CELL_BUCKETS) -> float:
     """Smallest cell-capacity bucket ≥ margin × measured live-cell fraction
-    (static jit argument). Overflow in `_march_core3` drops the
+    (static jit argument). The buckets are FINE (0.025-0.05 steps): every
+    live-proportional stream (geometry, weather, pre, hot machinery) pays
+    the whole capacity including fill slots, so bucket overshoot is a
+    direct multiplier on the frame (measured: bucket 0.8 at live 0.56 cost
+    ~8% of the headline). A scene still touches one bucket (±1 across a
+    cycle's wind drift). Overflow in `_march_core3` drops the
     highest-index live cells (no fallback — unlike core2's per-sample
-    overflow the cell gate has no dense pre plane to fall back on), so the
-    margin is deliberately generous; live cells are cheap (~5 gather rows
-    per sample vs the whole dense phase they replace)."""
+    overflow the cell gate has no dense pre plane to fall back on), and
+    the measured fraction is exact for the frozen cycle, so a 1.12 margin
+    covers drift."""
     need = cell_frac * margin
     for b in buckets:
         if need <= b:
@@ -1651,7 +1677,7 @@ def v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
                                        prepass_steps=prepass_steps))
     rk = select_ray_keep_frac(keep)
     ck = select_cell_keep_frac(cell_frac / max(rk, 1e-6))
-    hk = select_cell_keep_frac(hot_frac / max(rk * ck, 1e-6), margin=1.5)
+    hk = select_cell_keep_frac(hot_frac / max(rk * ck, 1e-6), margin=1.2)
     return rk, ck, hk, cell_frac, hot_frac
 
 

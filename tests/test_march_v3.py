@@ -170,6 +170,6 @@ def test_v3_hot_overflow_drops_softly(setup):
 
 def test_select_cell_keep_frac_buckets():
     assert select_cell_keep_frac(0.0) == 0.1
-    assert select_cell_keep_frac(0.3) == 0.4
+    assert select_cell_keep_frac(0.3) == 0.35
     assert select_cell_keep_frac(0.9) == 1.0
-    assert select_cell_keep_frac(0.3, margin=1.5) == 0.5
+    assert select_cell_keep_frac(0.3, margin=1.5) == 0.45
