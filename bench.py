@@ -7,14 +7,14 @@ Baseline (BASELINE.md): < 16 ms for a full 1024×512-ray re-render at 128
 march steps on one v5e chip. `vs_baseline` is 16 / measured_ms (>1 = faster
 than target).
 
-The headline path is `march_bricks_v2` (row-lean staged march) reading the
-per-cycle cone-density cache; the cache build is timed separately and
-reported as `cone_build_ms` (it is per-cycle state like the sky LUT —
-amortized over an engine cycle — and `value_with_bake` reports the sum for
-a cold single-shot render). Quality at EXACTLY these knobs is gated in
-tests/test_bench_config.py (≥ 40 dB vs the exact march at bench ratios,
-bench scene + high-coverage variant) and was measured at 42.0 dB on chip at
-full scale (docs/PERF_NOTES.md).
+The headline path is `march_bricks_v3` (coarse-cell-gated staged march:
+ray cull + per-ray live-cell compaction + hot-cell sub-compaction, all from
+one shared stride-2 prepass) reading the per-cycle cone-density cache; the
+cache build is timed separately and reported as `cone_build_ms` (it is
+per-cycle state like the sky LUT — amortized over an engine cycle — and
+`value_with_bake` reports the sum for a cold single-shot render). Quality
+at EXACTLY these knob ratios is gated in tests/test_bench_config.py
+(≥ 40 dB vs the exact march, bench scene + high-coverage variant).
 
 Also reported (VERDICT r1 #5): the amortized operating point at the
 reference's shipped defaults (768² map, 64-frame amortization, 128 steps,
@@ -89,8 +89,8 @@ def main() -> None:
     from cloudscape_tpu.models import atmosphere
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
-        BrickPack, build_cone_cache, march_bricks_v2, ray_keep_fraction,
-        v2_auto_policy,
+        BrickPack, build_cone_cache, march_bricks_v3, ray_keep_fraction,
+        v3_auto_policy,
     )
     from cloudscape_tpu.models.packs import reference_noise_pack
 
@@ -113,16 +113,14 @@ def main() -> None:
     )
     dirs = jnp.asarray(hemisphere_dirs(WIDTH, HEIGHT))
 
-    # Scene-adaptive ray culling + compaction capacity (the same policy the
-    # quality gates in tests/test_march_v2.py / test_bench_config.py
-    # exercise): ray bucket from the prepass keep fraction; sample capacity
-    # from the staged occupancy WITHIN kept rays. The occlusion cutoff
-    # costs one extra dense cumprod pass (~40 ms measured), so it is
-    # enabled only when it actually shrinks the capacity bucket (thin
-    # scenes: no saturation → pure tax; overcast: large win).
+    # Scene-adaptive ray cull + live-cell + hot-cell capacity buckets (the
+    # same policy the quality gates in tests/test_march_v3.py /
+    # test_bench_config.py exercise): ray bucket from the prepass keep
+    # fraction; live-cell bucket from the coarse-cell occupancy WITHIN kept
+    # rays; hot-cell bucket from the pre>0 fraction within live cells.
     keep = float(ray_keep_fraction(dirs, params, bricks, steps=STEPS,
                                    ray_stride=2))
-    ray_keep, capacity_frac, t_cutoff, occ = v2_auto_policy(
+    ray_keep, cell_keep, hot_keep, cell_frac, hot_frac = v3_auto_policy(
         dirs, params, bricks, steps=STEPS)
 
     # ---- Per-cycle cone-density cache (state, like the sky LUT).
@@ -135,13 +133,13 @@ def main() -> None:
 
     # ---- Headline: full re-render.
     fn = jax.jit(
-        lambda d, p, c: march_bricks_v2(d, p, bricks, sky, steps=STEPS,
+        lambda d, p, c: march_bricks_v3(d, p, bricks, sky, steps=STEPS,
                                         chunk=32768,
-                                        capacity_frac=capacity_frac,
+                                        cell_keep_frac=cell_keep,
+                                        hot_keep_frac=hot_keep,
                                         cone_cache=c,
                                         ray_keep_frac=ray_keep,
-                                        ray_stride=2,
-                                        t_cutoff=t_cutoff)
+                                        ray_stride=2)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
     assert np.isfinite(out).all(), "benchmark render produced non-finite values"
@@ -211,11 +209,12 @@ def main() -> None:
                 "mrays_per_sec_per_chip": round(mrays, 2),
                 "march_steps": STEPS,
                 "cone_build_ms": round(cone_ms, 1),
-                "capacity_frac": capacity_frac,
-                "occupied_frac": round(occ, 4),
+                "cell_keep_frac": cell_keep,
+                "hot_keep_frac": hot_keep,
+                "cell_frac_measured": round(cell_frac, 4),
+                "hot_frac_measured": round(hot_frac, 4),
                 "ray_keep_frac": ray_keep,
                 "ray_keep_measured": round(keep, 4),
-                "t_cutoff": t_cutoff,
                 "value_with_bake": round(ms + cone_ms, 1),
                 "hemisphere_readback_ms": round(max(readback_ms, 0.0), 1),
                 "per_tile_ms": round(per_tile_ms, 2),
@@ -223,7 +222,7 @@ def main() -> None:
                 "per_tile_readback_ms": round(per_tile_readback_ms, 1),
                 "per_tile_config":
                     "768px_64frames_128steps_fused_1280x720_tilecull",
-                "quality_gate": "tests/test_bench_config.py (>=40dB); 42.0dB on-chip full scale",
+                "quality_gate": "tests/test_bench_config.py (>=40dB, v3 vs exact)",
                 "device": str(dev),
                 "all_ms": all_ms,
                 "tile_all_ms": [round(t, 1) for t in tile_times],

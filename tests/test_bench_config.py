@@ -1,13 +1,13 @@
 """PSNR gate for the shipped benchmark configuration (VERDICT r1 weak #2).
 
-bench.py times `march_bricks_v2` with scene-adaptive capacity
-(select_capacity_frac of the measured pre>0 occupancy) and a (32,512,512)
-cone cache; compaction overflow degrades via the in-kernel fallback. This
-gate runs the same knob RATIOS and the same capacity policy at CPU scale — chunk chosen so the capacity
-fraction binds exactly as it does at 1024×512×128 — against the exact
-(compact, non-staged) march, on the bench scene AND a high-coverage variant,
-so a quality regression in the shipped number can never go unnoticed.
-bench.py cites this test.
+bench.py times `march_bricks_v3` (coarse-cell-gated march) with the
+scene-adaptive `v3_auto_policy` buckets and a (32,512,512) cone cache. This
+gate runs the same knob RATIOS and the same capacity policy at CPU scale —
+chunk chosen so the capacity fraction binds exactly as it does at
+1024×512×128 — against the exact (compact, non-staged) march, on the bench
+scene AND a high-coverage variant, so a quality regression in the shipped
+number can never go unnoticed. The previous headline path (v2) keeps its
+own gate here too. bench.py cites this test.
 """
 
 import numpy as np
@@ -18,7 +18,7 @@ from cloudscape_tpu.models import atmosphere
 from cloudscape_tpu.models.density import MarchParams
 from cloudscape_tpu.models.march_fast import (
     BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
-    v2_auto_policy,
+    march_bricks_v3, v2_auto_policy, v3_auto_policy,
 )
 from cloudscape_tpu.models.packs import make_noise_pack
 from cloudscape_tpu.utils.image import psnr
@@ -83,6 +83,34 @@ def _gate(bp, slut, sun, coverage):
     return psnr(got, exact)
 
 
+def _gate_v3(bp, slut, sun, coverage):
+    """The HEADLINE path's gate: march_bricks_v3 at the bench's knob ratios
+    (v3_auto_policy buckets, stride-2 cull prepass, bench cone res) vs the
+    exact march."""
+    params = MarchParams.create(
+        cloud_pos=np.array([1.5, -0.3]), detailed_pos=np.array([0.4, 0.2]),
+        weather_pos=np.array([0.01, 0.02]), time=12.5,
+        cloud_coverage=coverage, light_direction=sun,
+        ground_color=np.array([0.27, 0.19, 0.027]),
+    )
+    dirs = bench_dirs()
+    rk, ck, hk, cell_frac, hot_frac = v3_auto_policy(
+        dirs, params, bp, steps=STEPS)
+    chunk = 512
+    exact = np.asarray(
+        march_bricks(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
+                     capacity_frac=0.5)
+    )
+    cone = build_cone_cache(params, bp, 6, res=BENCH_CONE_RES, chunk=16384)
+    got = np.asarray(
+        march_bricks_v3(dirs, params, bp, slut, steps=STEPS, chunk=chunk,
+                        cell_keep_frac=ck, hot_keep_frac=hk, cone_cache=cone,
+                        ray_keep_frac=rk, ray_stride=2)
+    )
+    assert (exact[..., 3] > 0.1).mean() > 0.02, "scene rendered no clouds"
+    return psnr(got, exact)
+
+
 def test_bench_scene_quality(setup):
     bp, slut, sun = setup
     p = _gate(bp, slut, sun, coverage=0.35)  # the bench scene's coverage
@@ -95,3 +123,15 @@ def test_bench_config_high_coverage(setup):
     bp, slut, sun = setup
     p = _gate(bp, slut, sun, coverage=0.7)
     assert p > 40.0, f"high-coverage bench-config PSNR {p:.1f} dB < 40 dB"
+
+
+def test_bench_scene_quality_v3(setup):
+    bp, slut, sun = setup
+    p = _gate_v3(bp, slut, sun, coverage=0.35)
+    assert p > 40.0, f"v3 bench-config PSNR {p:.1f} dB < 40 dB at bench knobs"
+
+
+def test_bench_config_high_coverage_v3(setup):
+    bp, slut, sun = setup
+    p = _gate_v3(bp, slut, sun, coverage=0.7)
+    assert p > 40.0, f"v3 high-coverage bench-config PSNR {p:.1f} dB < 40 dB"
