@@ -570,7 +570,7 @@ class CloudSkyEngine:
         paying it mid-flight would stall the serving loop for whole
         seconds (seen directly in per-tile timings). The reference's
         analog is shader precompilation at load."""
-        want = {b for b in self._tile_buckets if b < 1.0}
+        want = set(self._tile_buckets)
         done = getattr(self, "_warmed_tile_buckets", set())
         for b in sorted(want - done):
             scratch = self.cloud_ring + 0.0  # donated away by the call
@@ -585,20 +585,24 @@ class CloudSkyEngine:
                 light_steps=self.perf.light_steps,
                 kernel=self.kernel,
                 capacity_frac=0.5,
-                ray_keep_frac=b,
+                # Bucket 1.0 dispatches the uncull variant (prio None,
+                # rk None) — it must be warmed too or the first full tile
+                # of a cycle stalls on a 20-60 s remote compile.
+                ray_keep_frac=None if b >= 1.0 else b,
             )
+            prio = None if b >= 1.0 else self._prio_map
             if self.mesh is not None:
                 _update_tile_mesh(
                     scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                     self._march_params, self._noise_arg, self.sky_ring[0],
-                    self._prio_map, mesh=self.mesh,
+                    prio, mesh=self.mesh,
                     axis_name=self.mesh.axis_names[0], **common,
                 )
             else:
                 _update_tile(
                     scratch, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                     self._march_params, self._noise_arg, self.sky_ring[0],
-                    self._prio_map, **common,
+                    prio, **common,
                 )
         self._warmed_tile_buckets = done | want
 
@@ -607,7 +611,7 @@ class CloudSkyEngine:
         cycle can dispatch at this camera shape (see
         `_warm_tile_cull_variants` — a mid-flight remote compile stalls
         serving for ~20-60 s)."""
-        want = {b for b in self._tile_buckets if b < 1.0}
+        want = set(self._tile_buckets)
         key = (eyedirs.shape, bool(deband))
         warmed = getattr(self, "_warmed_fused", {})
         done = warmed.get(key, set())
@@ -634,6 +638,8 @@ class CloudSkyEngine:
                     skip_march=True,
                 )
                 continue
+            # Bucket 1.0 dispatches the uncull variant (prio None, rk
+            # None) — warm it too (see _warm_tile_cull_variants).
             _render_frame_fused(
                 scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
                 jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
@@ -642,7 +648,7 @@ class CloudSkyEngine:
                 jnp.float32(0.5),
                 jnp.asarray(self.frame_data.light_direction, jnp.float32),
                 jnp.float32(self.config.sun_disk_scale),
-                self._prio_map,
+                None if b >= 1.0 else self._prio_map,
                 texture_size=self.perf.texture_size,
                 region=self.perf.update_region_size,
                 steps=self.perf.march_steps,
@@ -650,7 +656,10 @@ class CloudSkyEngine:
                 kernel=self.kernel,
                 deband=deband,
                 capacity_frac=0.5,
-                ray_keep_frac=b,
+                ray_keep_frac=None if b >= 1.0 else b,
+                # The real dispatch always passes skip_march explicitly;
+                # kwarg PRESENCE is part of the jit cache key.
+                skip_march=False,
             )
         warmed[key] = done | want
         self._warmed_fused = warmed

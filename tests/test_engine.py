@@ -204,6 +204,45 @@ def test_tile_cull_skip_bucket(tiny_noise):
     np.testing.assert_array_equal(tile, 0.0)
 
 
+def test_warm_covers_every_bucket_variant(tiny_noise):
+    """Serving must never hit a mid-cycle compile: the per-cycle warm-up has
+    to cover EVERY bucket the cycle can dispatch — including 1.0 (the uncull
+    variant, prio=None/rk=None), which round 3 initially missed (a 1.0 tile
+    reached mid-cycle stalled ~30 s on a remote compile, seen directly in
+    bench tile_all_ms). Forces mixed buckets, re-warms, then asserts zero
+    jit-cache growth across a cycle's worth of fused ticks."""
+    from cloudscape_tpu.engine import _render_frame_fused
+
+    b = CloudSkyEngine(
+        perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.45),
+        sun=SunState(direction=(0.3, 0.5, -0.8)),
+        noise=tiny_noise,
+        kernel="fast2",
+        cone_res=(4, 16, 16),
+        tile_cull=True,
+    )
+    gx, gy = np.meshgrid(np.linspace(-0.3, 0.3, 8),
+                         np.linspace(0.1, 0.5, 8), indexing="xy")
+    eye = jnp.asarray(
+        np.stack([gx, gy, np.full((8, 8), -1.0)], axis=-1), jnp.float32)
+    b.render_frame(eye, now=0.0)  # warm start + first tick
+    # Mixed buckets covering skip, cull, and the full/uncull variant.
+    nb = len(b._tile_buckets)
+    b._tile_buckets = ([1.0, 0.5, 0.0] * nb)[:nb]
+    b._warmed_fused = {}
+    b._warmed_tile_buckets = set()
+    b.render_frame(eye, now=0.01)  # re-warm with the forced buckets
+    c0 = _render_frame_fused._cache_size()
+    # The rest of the cycle (no rotation): every bucket gets dispatched.
+    remaining = b.perf.frames_to_update - b.ring.frame
+    for i in range(remaining):
+        b.render_frame(eye, now=0.02 + i * 0.01)
+    assert _render_frame_fused._cache_size() == c0, \
+        "fused serving compiled a new variant mid-cycle"
+
+
 @pytest.mark.slow
 def test_shipped_geometry_ratio_amortized_cycle(tiny_noise):
     """Geometry-faithful ratio of the reference's shipped operating point
