@@ -21,10 +21,11 @@ SURVEY.md §5 checkpoint/resume).
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import time as _time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,60 @@ def _cone_builder(light_steps: int, res):
 
 def _build_cone_jit(params, bricks, *, light_steps: int, res):
     return _cone_builder(light_steps, tuple(res))(params, bricks)
+
+
+@functools.lru_cache(maxsize=None)
+def _cone_idx_jit(res):
+    """Jitted stage-1 of the amortized cone bake: the global pre>0 dilated
+    occupancy compaction (bitwise the full build's index vector — same
+    chunk/capacity as `_cone_builder`)."""
+    from cloudscape_tpu.models.march_fast import cone_occupancy_indices
+
+    return jax.jit(
+        partial(cone_occupancy_indices, res=res, chunk=65536)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_baker(light_steps: int, res, count: int):
+    """Jitted stage-2 step: cone-march one `count`-cell slice of the
+    compacted index vector into the flat pending volume (donated in
+    place). One executable serves every slice of every cycle (the slice
+    offset is traced)."""
+    from cloudscape_tpu.models.march_fast import bake_cone_cells
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def bake(vol, idx, i0, params, bricks):
+        return bake_cone_cells(vol, idx, i0, params, bricks, count=count,
+                               light_steps=light_steps, res=res,
+                               chunk=min(count, 65536))
+
+    return bake
+
+
+@functools.lru_cache(maxsize=None)
+def _cone_assembler():
+    from cloudscape_tpu.models.march_fast import assemble_cone_cache
+
+    return jax.jit(assemble_cone_cache)
+
+
+@dataclasses.dataclass
+class _PendingCycle:
+    """The NEXT cycle's state, frozen one rotation ahead and baked
+    incrementally across the current cycle's ticks (VERDICT r2 #2: the
+    reference's frame cost is flat — `cloud_sky.gd:129-163` dispatches one
+    tile every frame — while a synchronous per-rotation cone bake stalls the
+    boundary frame ~0.7 s at shipped defaults)."""
+
+    frame_data: FrameData
+    march_params: MarchParams
+    vol: Optional[jax.Array]          # flat [nd*nh*nw] cone volume being baked
+    idx: Any = None                   # compacted occupied-cell indices
+    slices_done: int = 0
+    cone: Any = None                  # assembled ConeCache once complete
+    prio: Any = None                  # tile-cull priority map (if tile_cull)
+    buckets: Optional[List[float]] = None
 
 
 @functools.lru_cache(maxsize=8)
@@ -359,6 +414,7 @@ class CloudSkyEngine:
         mesh=None,
         cone_res=(32, 512, 512),
         tile_cull: bool = False,
+        cone_prebake: Optional[bool] = None,
     ):
         """kernel: "fast" (brick-table, occupancy-compacted march — exact,
         the default), "fast2" (row-lean staged march + per-cycle cone-density
@@ -391,6 +447,16 @@ class CloudSkyEngine:
         self.cone_res = tuple(cone_res)
         self.mesh = mesh
         self.tile_cull = bool(tile_cull) and kernel == "fast2"
+        # cone_prebake (fast2, default ON): amortize the per-cycle cone bake
+        # over the cycle's ticks by freezing FrameData one rotation ahead
+        # (see _PendingCycle). With a static scene the output is bitwise
+        # identical to the synchronous bake; with moving sun/wind/config the
+        # parameters take effect one cycle later than the reference's
+        # boundary pickup (documented in docs/PARITY.md). Set False for
+        # exact reference pickup latency (and the boundary-frame stall).
+        self.cone_prebake = (kernel == "fast2") if cone_prebake is None \
+            else (bool(cone_prebake) and kernel == "fast2")
+        self._pending: Optional[_PendingCycle] = None
         self._prio_map = None
         self._tile_buckets = None
         self.perf = perf.validate()
@@ -418,6 +484,8 @@ class CloudSkyEngine:
         self.sky_ring = jnp.zeros((3,) + self.SKY_LUT_SHAPE, jnp.float32)
 
         self.frame_data = FrameData()
+        self._head_frame_data = self.frame_data  # replaced by a copy at refresh
+        self._derive_prebake_schedule()
         self.ring = RingState()
         self._start_time: Optional[float] = None
         self.needs_full_sky_init = True
@@ -496,6 +564,8 @@ class CloudSkyEngine:
         n = self.perf.texture_size
         self.cloud_ring = jnp.zeros((3, n, n, 4), jnp.float32)
         self.ring.reset()
+        self._pending = None  # stale snapshot/slab schedule
+        self._derive_prebake_schedule()
         self.request_full_sky_init()
         self.can_run = self._validate_kernels()
 
@@ -512,32 +582,91 @@ class CloudSkyEngine:
             self._start_time = _time.monotonic()
         return _time.monotonic() - self._start_time
 
+    def _derive_prebake_schedule(self) -> None:
+        """Per-tick slice sizing for the amortized cone bake: sweep the
+        compacted-cell capacity with ~4 ticks of slack for the occupancy
+        pass, assembly, and tile-cull prepass dispatches, all before the
+        next rotation."""
+        from cloudscape_tpu.models.march_fast import cone_capacity
+
+        n = int(np.prod(self.cone_res))
+        self._cone_capacity = cone_capacity(n, 0.45, 65536)
+        bake_ticks = max(self.perf.frames_to_update - 4, 1)
+        self._cone_slice = min(-(-self._cone_capacity // bake_ticks),
+                               self._cone_capacity)
+        self._n_cone_slices = -(-self._cone_capacity // self._cone_slice)
+
     def _refresh_frame_data(self, now: float) -> None:
         """`_update_per_frame_data` (`cloud_sky.gd:165-187`) minus the LUT
-        dispatch (handled by the caller)."""
-        self.frame_data.update_light_data(self.sun, getattr(self, "_sun_srgb", False))
-        self.frame_data.update_config(self.config)
-        self.frame_data.integrate_wind(now)
-        self._march_params = self.frame_data.to_march_params()
-        if self.kernel == "fast2":
-            # The cone-density cache is valid for exactly one FrameData
-            # snapshot; rebuild at every refresh (cycle boundary / warm
-            # start). Cost amortizes over frames_to_update tile ticks.
+        dispatch (handled by the caller).
+
+        With cone_prebake (fast2 default): the snapshot pipeline is one
+        cycle deep — the snapshot frozen at THIS rotation becomes active at
+        the NEXT one, so its cone cache (and tile-cull priority map) can be
+        baked incrementally across this cycle's ticks instead of stalling
+        the boundary frame. Falls back to the synchronous bake whenever the
+        pending bake didn't finish (cold start, update_cycle-driven use)."""
+        if not (self.cone_prebake and self.kernel == "fast2"):
+            self.frame_data.update_light_data(
+                self.sun, getattr(self, "_sun_srgb", False))
+            self.frame_data.update_config(self.config)
+            self.frame_data.integrate_wind(now)
+            self._march_params = self.frame_data.to_march_params()
+            if self.kernel == "fast2":
+                # The cone-density cache is valid for exactly one FrameData
+                # snapshot; rebuild at every refresh (cycle boundary / warm
+                # start). Cost amortizes over frames_to_update tile ticks.
+                self._cone_cache = _build_cone_jit(
+                    self._march_params, self._bricks,
+                    light_steps=self.perf.light_steps, res=self.cone_res,
+                )
+                if self.tile_cull:
+                    self._refresh_tile_cull()
+            return
+
+        # Pipelined: the head snapshot advances with reference semantics
+        # (light + config + wind at every rotation, `cloud_sky.gd:165-187`);
+        # what RENDERS is the head as of the previous rotation.
+        head = self._head_frame_data
+        head.update_light_data(self.sun, getattr(self, "_sun_srgb", False))
+        head.update_config(self.config)
+        head.integrate_wind(now)
+        pend = self._pending
+        ready = (pend is not None and pend.cone is not None
+                 and (not self.tile_cull or pend.prio is not None))
+        if ready:
+            self.frame_data = pend.frame_data
+            self._march_params = pend.march_params
+            self._cone_cache = pend.cone
+            if self.tile_cull:
+                self._prio_map = pend.prio
+                self._tile_buckets = pend.buckets
+                self._warm_tile_cull_variants()
+        else:
+            # Synchronous fallback: freeze at the head (no latency) and pay
+            # the boundary bake, exactly the non-prebake behavior.
+            self.frame_data = copy.deepcopy(head)
+            self._march_params = self.frame_data.to_march_params()
             self._cone_cache = _build_cone_jit(
                 self._march_params, self._bricks,
                 light_steps=self.perf.light_steps, res=self.cone_res,
             )
             if self.tile_cull:
                 self._refresh_tile_cull()
+        fd = copy.deepcopy(head)
+        self._pending = _PendingCycle(
+            frame_data=fd,
+            march_params=fd.to_march_params(),
+            vol=jnp.zeros((int(np.prod(self.cone_res)),), jnp.float32),
+        )
 
     _TILE_BUCKETS = (0.0, 0.25, 0.5, 0.75, 1.0)
 
-    def _refresh_tile_cull(self) -> None:
-        """Per-cycle tile-cull state: one full-texture priority prepass
-        (frozen FrameData ⇒ valid until the next rotation) + one host
-        transfer of the per-tile keep fractions, bucketed with a 1.1
-        margin. Capacity shortfalls degrade softly (thinnest rays drop
-        first)."""
+    def _compute_tile_cull(self, params):
+        """Tile-cull state for one frozen snapshot: a full-texture priority
+        prepass + one host transfer of the per-tile keep fractions, bucketed
+        with a 1.1 margin. Capacity shortfalls degrade softly (thinnest rays
+        drop first). Returns (prio_map, buckets)."""
         from cloudscape_tpu.models.march_fast import cull_priority_map
 
         steps = self.perf.march_steps
@@ -547,11 +676,10 @@ class CloudSkyEngine:
         region = self.perf.update_region_size
         stride = 2 if self.perf.texture_size % 2 == 0 else 1
         prio, tile_keep = cull_priority_map(
-            texel_directions(self.perf.texture_size), self._march_params,
+            texel_directions(self.perf.texture_size), params,
             self._bricks, steps=steps, prepass_steps=ps,
             ray_stride=stride, region=region,
         )
-        self._prio_map = prio
         keep = np.asarray(tile_keep).reshape(-1)  # row-major tile order
         buckets = []
         for k in keep:
@@ -561,8 +689,43 @@ class CloudSkyEngine:
                     break
             else:
                 buckets.append(1.0)
+        return prio, buckets
+
+    def _refresh_tile_cull(self) -> None:
+        prio, buckets = self._compute_tile_cull(self._march_params)
+        self._prio_map = prio
         self._tile_buckets = buckets
         self._warm_tile_cull_variants()
+
+    def _advance_prebake(self) -> None:
+        """One tick of the pending cycle's amortized bake (cone_prebake):
+        (1) the global occupancy compaction, (2..K+1) one compacted-cell
+        slice of the cone march each, (K+2) brick-table assembly, then the
+        tile-cull prepass — all for the snapshot that becomes active at the
+        next rotation. Each step is one extra async device dispatch
+        alongside the tile update; per-tick device cost ≈
+        cone_build / frames_to_update."""
+        pend = self._pending
+        if pend is None or not (self.cone_prebake and self.kernel == "fast2"):
+            return
+        if pend.idx is None:
+            pend.idx = _cone_idx_jit(self.cone_res)(
+                pend.march_params, self._bricks)
+        elif pend.slices_done < self._n_cone_slices:
+            i0 = min(pend.slices_done * self._cone_slice,
+                     max(self._cone_capacity - self._cone_slice, 0))
+            pend.vol = _cell_baker(
+                self.perf.light_steps, self.cone_res, self._cone_slice
+            )(pend.vol, pend.idx, jnp.int32(i0), pend.march_params,
+              self._bricks)
+            pend.slices_done += 1
+        elif pend.cone is None:
+            pend.cone = _cone_assembler()(pend.vol.reshape(self.cone_res))
+            pend.vol = None
+            pend.idx = None
+        elif self.tile_cull and pend.prio is None:
+            pend.prio, pend.buckets = self._compute_tile_cull(
+                pend.march_params)
 
     def _warm_tile_cull_variants(self) -> None:
         """Compile every culled tile-update executable this cycle can
@@ -824,6 +987,7 @@ class CloudSkyEngine:
             self.cloud_ring = _update_tile(*args, prio_map,
                                            ray_keep_frac=rk, **common)
         self.ring.advance_cursor(self.perf.update_region_size, self.perf.texture_size)
+        self._advance_prebake()
 
     # --------------------------------------------------------------- display
 
@@ -966,6 +1130,7 @@ class CloudSkyEngine:
         )
         self.ring.advance_cursor(self.perf.update_region_size,
                                  self.perf.texture_size)
+        self._advance_prebake()
         return frame
 
     def render_full_hemisphere(self, params: Optional[MarchParams] = None,
@@ -1071,6 +1236,11 @@ class CloudSkyEngine:
             not bool(np.any(np.asarray(state["cloud_ring"]))),
         )
         self._march_params = self.frame_data.to_march_params()
+        # Prebake pipeline restarts from the restored snapshot (the next
+        # rotation takes the synchronous fallback once).
+        self._head_frame_data = copy.deepcopy(self.frame_data)
+        self._pending = None
+        self._derive_prebake_schedule()
         if self.kernel == "fast2":
             # Derived per-cycle state: rebuild for the restored snapshot.
             self._cone_cache = _build_cone_jit(
