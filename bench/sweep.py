@@ -152,21 +152,23 @@ def main() -> None:
         # Config 5: hierarchical march, 2048×1024, 128 adaptive steps —
         # with the per-cycle cone cache (same state the engine/headline
         # amortize; without it the fine phase pays the 17-row inline light
-        # march).
+        # march). Streamed over 4 row bands (march_hierarchical_banded ≡
+        # monolithic, tested) so peak HBM fits beside the FULL-res
+        # (32,512,512) cache — 41.9 dB at this operating point vs a
+        # 512-step converged gt (tests/test_hierarchical.py gate ≥ 40).
+        from cloudscape_tpu.models.march_fast import march_hierarchical_banded
+
         sky, p = scene([0.3, 0.4, -0.85])
         dirs = jnp.asarray(hemisphere_dirs(2048, 1024))
-        # (24,448,448): 37.0 dB at the hierarchical gate and ~100 MB of
-        # table -- the full (32,512,512) cache OOMs HBM next to the 2M-ray
-        # fine phase.
         cc = jax.block_until_ready(jax.jit(lambda q: build_cone_cache(
-            q, bricks, 6, res=(24, 448, 448), chunk=65536))(p))
-        f = jax.jit(lambda d, q, c: march_hierarchical(
-            d, q, bricks, sky, steps=128, chunk=32768, capacity_frac=0.08,
-            cone_cache=c))
+            q, bricks, 6, res=(32, 512, 512), chunk=65536))(p))
+        f = lambda d, q, c: march_hierarchical_banded(
+            d, q, bricks, sky, bands=4, steps=128, chunk=32768,
+            capacity_frac=0.08, coarse_steps=32, cone_cache=c)
         ms, out = _timed(f, dirs, p, cc)
         emit(5, "hierarchical_2048x1024x128", ms, 2048, 1024,
              {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3),
-              "cone_cache": "24x448x448"})
+              "cone_cache": "32x512x512", "bands": 4, "coarse_steps": 32})
 
 
 if __name__ == "__main__":

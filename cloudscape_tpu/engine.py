@@ -708,21 +708,23 @@ class CloudSkyEngine:
         pend = self._pending
         if pend is None or not (self.cone_prebake and self.kernel == "fast2"):
             return
-        if pend.idx is None:
-            pend.idx = _cone_idx_jit(self.cone_res)(
-                pend.march_params, self._bricks)
-        elif pend.slices_done < self._n_cone_slices:
-            i0 = min(pend.slices_done * self._cone_slice,
-                     max(self._cone_capacity - self._cone_slice, 0))
-            pend.vol = _cell_baker(
-                self.perf.light_steps, self.cone_res, self._cone_slice
-            )(pend.vol, pend.idx, jnp.int32(i0), pend.march_params,
-              self._bricks)
-            pend.slices_done += 1
-        elif pend.cone is None:
-            pend.cone = _cone_assembler()(pend.vol.reshape(self.cone_res))
-            pend.vol = None
-            pend.idx = None
+        if pend.cone is None:
+            if pend.idx is None:
+                pend.idx = _cone_idx_jit(self.cone_res)(
+                    pend.march_params, self._bricks)
+            elif pend.slices_done < self._n_cone_slices:
+                i0 = min(pend.slices_done * self._cone_slice,
+                         max(self._cone_capacity - self._cone_slice, 0))
+                pend.vol = _cell_baker(
+                    self.perf.light_steps, self.cone_res, self._cone_slice
+                )(pend.vol, pend.idx, jnp.int32(i0), pend.march_params,
+                  self._bricks)
+                pend.slices_done += 1
+            else:
+                pend.cone = _cone_assembler()(
+                    pend.vol.reshape(self.cone_res))
+                pend.vol = None
+                pend.idx = None
         elif self.tile_cull and pend.prio is None:
             pend.prio, pend.buckets = self._compute_tile_cull(
                 pend.march_params)

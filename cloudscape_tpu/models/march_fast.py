@@ -1896,7 +1896,10 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
        reference (its "fewer steps towards horizon" comment never shipped).
 
     Approximate by construction (sample placement differs from the fixed-step
-    reference); gated ≥ 40 dB against `march_bricks` in tests.
+    reference). Quality gates (tests/test_hierarchical.py): ≥ 40 dB vs a
+    512-step converged `march_bricks` at the config-5 operating point
+    (128 steps, coarse_steps=32, the sweep's cone cache), and never more
+    than 1 dB behind the fixed-step march at equal 64-step budget.
 
     ray_capacity_frac sizes the compacted ray list as a fraction of all rays.
     The default 1.0 can never overflow. Lowering it buys speed on sparse
@@ -1978,6 +1981,30 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
         out_r, mode="drop", indices_are_sorted=True, unique_indices=True,
     )
     return out.reshape(shape + (4,))
+
+
+def march_hierarchical_banded(dirs, *args, bands: int = 4, **kwargs):
+    """`march_hierarchical` streamed over `bands` horizontal row bands, one
+    dispatch each (rays are independent, so the banded render is the
+    monolithic render — tests/test_hierarchical.py gates equality).
+
+    Caps peak HBM at ~1/bands of the monolithic call's [n, steps] planes
+    and global compaction buffers, which is what lets BASELINE config 5's
+    2M-ray fine phase run beside the full-resolution (32, 512, 512)
+    cone-density cache (VERDICT r2 #3 — the monolithic 2048×1024 call OOMs
+    v5e HBM with that cache). All bands share one jit executable (same
+    shapes). dirs must be [H, W, 3] with H % bands == 0.
+
+    Capacity semantics: `capacity_frac` / `ray_capacity_frac` pools are
+    per-band, so under OVERFLOW the dropped samples differ from the
+    monolithic call (which pools globally); at non-overflowing capacity the
+    two are bitwise-identical (tested)."""
+    H = dirs.shape[0]
+    assert H % bands == 0, f"rows {H} not divisible by bands {bands}"
+    rows = H // bands
+    outs = [march_hierarchical(dirs[i * rows:(i + 1) * rows], *args, **kwargs)
+            for i in range(bands)]
+    return jnp.concatenate(outs, axis=0)
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk", "compact",

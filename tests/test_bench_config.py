@@ -111,6 +111,7 @@ def _gate_v3(bp, slut, sun, coverage):
     return psnr(got, exact)
 
 
+@pytest.mark.slow
 def test_bench_scene_quality(setup):
     bp, slut, sun = setup
     p = _gate(bp, slut, sun, coverage=0.35)  # the bench scene's coverage

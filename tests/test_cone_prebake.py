@@ -91,6 +91,7 @@ def _assert_cone_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_slice_assembly_matches_full_sparse(tiny_setup):
     """Incremental slice bake vs the full sparse build: bitwise — including
     under capacity OVERFLOW (this scene's dilated occupancy 6480 exceeds

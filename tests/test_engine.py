@@ -115,6 +115,7 @@ def test_amortized_cycle_equals_monolithic(engine):
     np.testing.assert_array_equal(completed, mono)
 
 
+@pytest.mark.slow
 def test_tile_cull_matches_unculled(tiny_noise):
     """fast2 + tile_cull: per-tile ray culling from the per-cycle priority
     map must stay ≥ 40 dB against the unculled fast2 engine over a full
@@ -166,6 +167,7 @@ def test_tile_cull_actually_culls():
     assert (_ray_capacity(9216, 0.25) * 128) % 1024 == 0
 
 
+@pytest.mark.slow
 def test_tile_cull_skip_bucket(tiny_noise):
     """The 0.0 bucket: a tile whose whole priority window is empty sky skips
     the march entirely and writes zeros — bitwise what the march returns for
@@ -204,6 +206,7 @@ def test_tile_cull_skip_bucket(tiny_noise):
     np.testing.assert_array_equal(tile, 0.0)
 
 
+@pytest.mark.slow
 def test_warm_covers_every_bucket_variant(tiny_noise):
     """Serving must never hit a mid-cycle compile: the per-cycle warm-up has
     to cover EVERY bucket the cycle can dispatch — including 1.0 (the uncull

@@ -48,6 +48,7 @@ def setup():
     return bp, slut, params, dirs, field
 
 
+@pytest.mark.slow
 def test_march_baked_documented_band(setup):
     """march_baked renders plausibly but BELOW the 40 dB production gate —
     the documented negative. If this band moves, update PERF_NOTES."""
@@ -83,6 +84,7 @@ def test_field_lookup_matches_bake_points(setup):
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_occupied_ray_fraction_bounds(setup):
     bp, slut, params, dirs, field = setup
     occ = float(occupied_ray_fraction(dirs, params, field))

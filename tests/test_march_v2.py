@@ -93,6 +93,7 @@ def test_v2_weather_lerp_documented_loss(setup):
     )
 
 
+@pytest.mark.slow
 def test_v2_high_coverage(setup):
     bp, slut, _, dirs, _, _ = setup
     sun = np.array([0.3, 0.4, -0.85])
@@ -113,6 +114,7 @@ def test_v2_high_coverage(setup):
     assert p > 40.0, f"high-coverage v2 PSNR {p:.1f} dB"
 
 
+@pytest.mark.slow
 def test_sparse_cone_build_equals_dense(setup):
     """The pre>0-compacted (dilated) cone bake must agree with the dense bake
     wherever the march reads the cache. Center-sampled occupancy can miss
@@ -133,6 +135,7 @@ def test_sparse_cone_build_equals_dense(setup):
     assert np.abs(img_d - img_s).max() < 1e-2
 
 
+@pytest.mark.slow
 def test_v2_capacity_overflow_degrades_gracefully(setup):
     """Overflowed samples take the in-kernel fallback (ALU-only mean-erosion
     density, no sun term) instead of rendering as holes: output stays
@@ -222,6 +225,7 @@ def test_v2_ray_cull_overflow_renders_empty_sky(setup):
     np.testing.assert_allclose(tiny[kept], ok[kept], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_v2_occlusion_cutoff_near_exact(setup):
     """The conservative occlusion cutoff (T_ub from pre-erosion density)
     skips only provably-invisible staged samples: vs cutoff-off the image
@@ -252,6 +256,7 @@ def test_v2_occlusion_cutoff_near_exact(setup):
     assert occ_on < occ_off
 
 
+@pytest.mark.slow
 def test_compact_indices_matches_nonzero():
     """_compact_indices ≡ jnp.nonzero(size=cap, fill=total) — fuzzed."""
     rng = np.random.default_rng(7)

@@ -5,10 +5,12 @@ the parity gates here cover the real kernel logic.
 """
 
 import numpy as np
+import pytest
 
 from cloudscape_tpu.ops import noise, noise_pallas
 
 
+@pytest.mark.slow
 def test_base_noise_matches_jnp():
     a = np.asarray(noise_pallas.generate_base_noise_pallas(16, seed=3))
     b = np.asarray(noise.generate_base_noise(16, seed=3))
@@ -28,6 +30,7 @@ def test_weather_matches_jnp():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_base_noise_pallas_contract():
     v = np.asarray(noise_pallas.generate_base_noise_pallas(16, seed=0))
     assert v.min() >= 0.0 and v.max() <= 1.0

@@ -128,6 +128,7 @@ def test_mesh_engine_matches_single_device(setup):
     )
 
 
+@pytest.mark.slow
 def test_mesh_engine_composes_with_tile_cull(setup):
     """VERDICT r2 #5: tile_cull and mesh must compose. The priority map is
     computed replicated; each shard culls its own row block, so the sharded
