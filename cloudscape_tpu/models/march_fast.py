@@ -681,13 +681,103 @@ def bake_cone_cells(vol, idx, i0, params: MarchParams, bp: BrickPack,
 
 def assemble_cone_cache(cd_vol, extent: float = 220e3) -> ConeCache:
     """Pack a fully-baked [nd, nh, nw] cone-density volume (accumulated
-    slab-by-slab with `build_cone_cd_slab`) into the brick-table ConeCache —
-    the cheap final step of the amortized per-cycle bake."""
+    slice-by-slice with `bake_cone_cells`) into the brick-table ConeCache —
+    the final step of the amortized per-cycle bake. For the table build
+    itself amortized across ticks, see `cone_table_rows` +
+    `wrap_cone_table`."""
     from cloudscape_tpu.ops.brick import build_brick3_device
 
     table = build_brick3_device(cd_vol[..., None], (8, 4, 4), (7, 3, 3),
                                 wrap="clamp")
     return ConeCache(table=table, extent=extent)
+
+
+CONE_BRICK = (8, 4, 4)
+CONE_STRIDE = (7, 3, 3)
+
+
+def cone_table_rows(cd_vol, b0, count: int):
+    """Rows [b0, b0 + count) of the cone cache's brick table (the sliceable
+    assembly — `build_brick3_rows` with the cone brick geometry); writing
+    every range then `wrap_cone_table` reproduces `assemble_cone_cache`
+    bitwise (tests/test_cone_prebake.py)."""
+    from cloudscape_tpu.ops.brick import build_brick3_rows
+
+    return build_brick3_rows(cd_vol[..., None], b0, count, CONE_BRICK,
+                             CONE_STRIDE, wrap="clamp")
+
+
+def wrap_cone_table(table, res, extent: float = 220e3) -> ConeCache:
+    """Metadata-only constructor around a fully-written [n_bricks, 128]
+    cone brick table (zero device work — the last step of the amortized
+    assembly)."""
+    from cloudscape_tpu.ops.brick import BrickTable3D, brick3_grid
+
+    return ConeCache(
+        table=BrickTable3D(table=table, dims=tuple(res), brick=CONE_BRICK,
+                           stride=CONE_STRIDE,
+                           grid=brick3_grid(res, CONE_STRIDE), channels=1,
+                           wrap="clamp"),
+        extent=extent,
+    )
+
+
+def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
+                   count: int, steps: int = 128, prepass_steps: int = 32,
+                   chunk: int = 32768):
+    """One slice of the amortized tile-cull prepass (the engine's pending
+    pipeline): RAW per-ray priority — max unclamped pre over the coarse
+    probe samples, −inf below horizon — for subsampled rays
+    [i0, i0 + count), scattered into `buf` [n_sub] (donated by the engine's
+    jit wrapper). `cull_finalize` applies the neighbor dilation/upsample and
+    tile reduction. i0 is traced (one executable serves every slice); the
+    per-ray values match `cull_priority_map`'s internal prepass to float
+    precision (per-ray math is identical; executable shapes differ)."""
+    d = jax.lax.dynamic_slice(dirs_sub, (i0, 0), (count, 3))
+    above, ndir, ss, p0, _, _ = _ray_setup(d, params, steps)
+    i_pre = (jnp.arange(prepass_steps, dtype=jnp.float32) + 1.0) \
+        * float(steps // prepass_steps)
+
+    def prepass_chunk(args):
+        p0c, ndirc, ssc = args
+        tt = ssc[:, None] * i_pre[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        w = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        pre_p, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
+        return jnp.max(pre_p, axis=1)
+
+    up0 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    c = min(chunk, count)
+    raw = jax.lax.map(prepass_chunk, (
+        _pad_blocks(p0, c, up0 * GROUND_RADIUS),
+        _pad_blocks(ndir, c, up0),
+        _pad_blocks(ss, c, jnp.float32(1.0)),
+    )).reshape(-1)[:count]
+    raw = jnp.where(above, raw, jnp.float32(-jnp.inf))
+    return jax.lax.dynamic_update_slice(buf, raw, (i0,))
+
+
+def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
+                  prepass_margin: float = 0.02):
+    """Final step of the amortized tile-cull prepass: neighbor-bonus
+    dilation + nearest upsample of the raw subsampled priority, horizon
+    mask, and the per-tile keep fractions — `cull_priority_map`'s tail on a
+    raw buffer accumulated by `cull_raw_slice`. Returns (prio [H, W],
+    tile_keep [H/region, W/region])."""
+    H, W = dirs.shape[:2]
+    hs, ws = H // ray_stride, W // ray_stride
+    above = (dirs[..., 1] > 0.0).reshape(-1)
+    r2 = raw.reshape(hs, ws)
+    d2 = jnp.maximum(r2, _dilate_max(r2) - 0.1)
+    prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
+                      axis=1).reshape(-1)
+    prio = jnp.where(above, prio, jnp.float32(-jnp.inf)).reshape(H, W)
+    keep = (prio > -prepass_margin).astype(jnp.float32)
+    tile_keep = keep.reshape(H // region, region, W // region, region) \
+        .mean(axis=(1, 3))
+    return prio, tile_keep
 
 
 def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,

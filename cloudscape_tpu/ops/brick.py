@@ -196,6 +196,43 @@ def build_brick3_device(volume, brick=(4, 4, 4), stride=(3, 3, 3),
     )
 
 
+def build_brick3_rows(volume, b0, count: int, brick=(4, 4, 4),
+                      stride=(3, 3, 3), wrap: str = "repeat"):
+    """Rows [b0, b0 + count) of `build_brick3_device`'s table (b0 traced,
+    count static) — the sliceable form the engine uses to amortize large
+    per-cycle table builds (the cone-density cache) across ticks instead of
+    stalling one frame on the full ~150k-row gather. Flat brick index
+    decodes as ((iz·ny) + iy)·nx + ix over the same grid; writing every row
+    range reproduces the full table bitwise (tests/test_cone_prebake.py).
+    Callers must keep b0 + count ≤ n_bricks (clamp the final slice)."""
+    d, h, w, c = volume.shape
+    bz, by, bx = brick
+    sz, sy, sx = stride
+    assert sz <= bz - 1 and sy <= by - 1 and sx <= bx - 1
+    nz, ny, nx = _cdiv(d, sz), _cdiv(h, sy), _cdiv(w, sx)
+    bi = b0 + jnp.arange(count)
+    iz = bi // (ny * nx)
+    iy = (bi // nx) % ny
+    ix = bi % nx
+
+    def idx(i, s, b, n):
+        a = i[:, None] * s + jnp.arange(b)[None, :]
+        return jnp.clip(a, 0, n - 1) if wrap == "clamp" else jnp.remainder(a, n)
+
+    zz = idx(iz, sz, bz, d)
+    yy = idx(iy, sy, by, h)
+    xx = idx(ix, sx, bx, w)
+    rows = volume[zz[:, :, None, None], yy[:, None, :, None],
+                  xx[:, None, None, :]]  # [count, bz, by, bx, c]
+    return rows.transpose(0, 4, 1, 2, 3).reshape(count, c * bz * by * bx)
+
+
+def brick3_grid(dims, stride=(3, 3, 3)):
+    """Brick-grid shape (nz, ny, nx) for a volume of `dims` — the row count
+    of its brick table is the product (used to size sliced builds)."""
+    return tuple(_cdiv(d, s) for d, s in zip(dims, stride))
+
+
 def build_brick2_device(image, brick=(8, 8), stride=(7, 7),
                         wrap: str = "repeat") -> "BrickTable2D":
     """Device-side 2D brick packing (jnp gathers — no host round trip).

@@ -160,12 +160,39 @@ def test_prebake_ready_before_boundary(tiny_setup):
         e.update_sky(now=0.0)
     # Cycle 0 complete: pending cone baked with ticks to spare.
     assert e._pending is not None and e._pending.cone is not None
+    assert e._pending.sky is not None
     pend_cone = e._pending.cone
     e.update_sky(now=0.0)  # rotation: must pick up the pending cone
     assert e._cone_cache is pend_cone
     # And the next pending cycle restarts from scratch (the boundary tick
-    # itself already ran the new pending's occupancy pass).
-    assert e._pending.cone is None and e._pending.slices_done == 0
+    # itself is stage-skipped — `fresh` — so no spike lands on it).
+    assert e._pending.cone is None and e._pending.idx is None
+    assert not e._pending.fresh  # the skip was consumed by the boundary tick
+
+
+def test_prebake_tile_cull_matches_sync(tiny_setup):
+    """tile_cull engines: the amortized cull prepass (raw slices + finalize
+    + deferred readback) must reproduce the synchronous per-boundary cull —
+    same BUCKETS every cycle (the functionally binding output; the raw
+    priorities match to float-reassociation level across the different
+    executable shapes), and the rendered rings equal to float tolerance."""
+    noise, _, _ = tiny_setup
+    a = _tiny_engine(noise, cone_prebake=False, tile_cull=True)
+    b = _tiny_engine(noise, tile_cull=True)
+    a.update_sky(now=0.0)
+    b.update_sky(now=0.0)  # warm start
+    for _ in range(2 * b.perf.frames_to_update - 1):  # to one tick before
+        a.update_sky(now=0.0)                         # the 2nd rotation
+        b.update_sky(now=0.0)
+    assert b.ring.frame == b.perf.frames_to_update
+    pend = b._pending
+    assert pend is not None and pend.buckets is not None  # ready in time
+    a.update_sky(now=0.0)  # boundary: a runs the sync cull,
+    b.update_sky(now=0.0)  # b consumes the amortized one
+    assert b._tile_buckets is pend.buckets
+    assert a._tile_buckets == b._tile_buckets
+    np.testing.assert_allclose(np.asarray(b.cloud_ring),
+                               np.asarray(a.cloud_ring), atol=1e-5, rtol=0.0)
 
 
 def test_prebake_restore_resets_pipeline(tiny_setup):
