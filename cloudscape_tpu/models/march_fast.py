@@ -1377,7 +1377,7 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
                  ray_keep_frac: float | None = None,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
                  ray_stride: int = 1, cell_margin: float = 0.1,
-                 hot_keep_frac: float = 0.5):
+                 hot_keep_frac: float = 0.5, debug_stage: int = 0):
     """Window-staged march core (the v3 headline variant — VERDICT r2 #1).
 
     `_march_core2` still marches ALL `steps` samples of every kept ray
@@ -1418,15 +1418,26 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     assert steps % P == 0, "prepass_steps must divide steps"
     spc = steps // P
 
+    # debug_stage (perf isolation, bench/probe_v3_phases.py): early-return a
+    # scalar probe after stage k — XLA dead-code-eliminates everything the
+    # probe doesn't depend on, so timing stage k vs k-1 isolates one phase.
+    def _dbg(*xs):
+        probe = sum(jnp.sum(x.astype(jnp.float32)) for x in xs)
+        return jnp.zeros((n_out, 4), jnp.float32).at[0, 0].set(probe)
+
     prio, occ_cells, meta = _cull_prepass(
         above, ndir, ss, p0, params, bp, steps, P, chunk, cull_shape,
         ray_stride, cell_margin)
+    if debug_stage == 1:  # prepass only
+        return _dbg(prio, occ_cells)
 
     cull = ray_keep_frac is not None and ray_keep_frac < 1.0
     if cull:
         ray_cap = _ray_capacity(n, ray_keep_frac)
         chunk = min(chunk, ray_cap)
         ridx = _select_top_rays(prio, ray_cap, n)
+        if debug_stage == 2:  # + ray select
+            return _dbg(ridx, occ_cells)
         valid_r = ridx < n
         safe_r = jnp.minimum(ridx, n - 1)
         geom_r = jnp.concatenate(
@@ -1498,6 +1509,8 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
         return parts  # [M] each, lane-major (lane 0 block, lane 1 block, …)
 
     sx, sy, sz = lane_positions(g, cell_k)
+    if debug_stage == 3:  # + cell compaction & positions
+        return _dbg(sx, sy, sz)
 
     # ---- Live passes (single-gather-stream rule): weather row, then
     # large-noise pre row, over all live samples.
@@ -1514,9 +1527,13 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     exc = (sx.reshape(-1, chunk), sy.reshape(-1, chunk),
            sz.reshape(-1, chunk))
     w_r, w_b = jax.lax.map(weather_chunk, (exc[0], exc[2]))
+    if debug_stage == 4:  # + weather stream
+        return _dbg(w_r, w_b)
     pre_s, hf_s = jax.lax.map(pre_chunk, exc + (w_r, w_b))
     pre_s = pre_s.reshape(spc, cap_c)
     hf_s = hf_s.reshape(spc, cap_c)
+    if debug_stage == 5:  # + pre stream
+        return _dbg(pre_s, hf_s)
 
     # ---- HOT-cell sub-compaction: `pre > 0` is the exact occupancy
     # predicate (erosion only reduces density, pre ≤ 0 remaps to exactly
@@ -1541,6 +1558,8 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
          for l in range(spc)])
     hf_h = m.height_fraction(jnp.sqrt(hx * hx + hy * hy + hz * hz),
                              SKY_B_RADIUS, SKY_T_RADIUS)
+    if debug_stage == 6:  # + hot sub-compaction
+        return _dbg(pre_h, hf_h, hx)
 
     def erosion_chunk(blk):
         bpre, bhf, bx, by_, bz = blk
@@ -1558,7 +1577,11 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     t_h = jax.lax.map(erosion_chunk,
                       (pre_h.reshape(-1, chunk), hf_h.reshape(-1, chunk))
                       + hxc)
+    if debug_stage == 7:  # + erosion stream
+        return _dbg(t_h)
     cd_h = jax.lax.map(cone_chunk, hxc + (t_h,))
+    if debug_stage == 8:  # + cone stream
+        return _dbg(t_h, cd_h)
 
     # ---- Scatter t / cd / hf to [n, steps] planes from the HOT list only
     # (dead and unoccupied samples are 0 in all three planes — radiance ∝ t
@@ -1601,6 +1624,8 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
         _pad_blocks(ndir, chunk, up),
         _pad_blocks(ss, chunk, jnp.float32(1.0)),
     )).reshape(-1, steps)[:n]
+    if debug_stage == 9:  # + scatters and hf plane
+        return _dbg(t, cd, hf)
 
     out = _accumulate_phase3(t, cd, hf, ss, phase, above, params, atmos,
                              lss, steps, chunk)
@@ -1888,7 +1913,7 @@ def v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
                                    "cell_keep_frac", "cone_res",
                                    "ray_keep_frac", "prepass_steps",
                                    "ray_stride", "cell_margin",
-                                   "hot_keep_frac"))
+                                   "hot_keep_frac", "debug_stage"))
 def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     steps: int = 128, light_steps: int = 6,
                     chunk: int = 32768, cell_keep_frac: float = 0.5,
@@ -1896,7 +1921,8 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     cone_res=(32, 512, 512),
                     ray_keep_frac: float | None = None,
                     prepass_steps: int = 32, ray_stride: int = 1,
-                    cell_margin: float = 0.1, hot_keep_frac: float = 0.5):
+                    cell_margin: float = 0.1, hot_keep_frac: float = 0.5,
+                    debug_stage: int = 0):
     """Window-staged fast march (the v3 headline path): `_march_core3` over
     world directions — v2's staged machinery with the dense phase replaced
     by coarse-cell-gated sample compaction from the shared cull prepass.
@@ -1917,7 +1943,7 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps, min(chunk, max(n, 1)), cell_keep_frac,
                        cone_cache, ray_keep_frac, prepass_steps,
                        shape if len(shape) == 2 else None, ray_stride,
-                       cell_margin, hot_keep_frac)
+                       cell_margin, hot_keep_frac, debug_stage)
     return out.reshape(shape + (4,))
 
 
