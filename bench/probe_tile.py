@@ -104,6 +104,27 @@ def main():
     timed("fused skip_march (composite+plumbing)", lambda: fused(True))
     timed("fused tile+composite", lambda: fused(False))
 
+    # v3 (coarse-cell-gated) march at tile scale: does the cell gating's row
+    # saving survive its extra machinery at 9216 rays? Two bucket settings.
+    from cloudscape_tpu.models.march_fast import march_bricks_v3
+    from cloudscape_tpu.ops.octmap import texel_directions
+
+    dirs96 = texel_directions(eng.perf.texture_size, x0=0, y0=0,
+                              width=region, height=region)
+
+    def v3_tile(rk, ck, hk):
+        fn = jax.jit(lambda d, p, c: march_bricks_v3(
+            d, p, eng._bricks, eng.sky_ring[0], steps=eng.perf.march_steps,
+            light_steps=eng.perf.light_steps, chunk=region * region,
+            cell_keep_frac=ck, hot_keep_frac=hk, cone_cache=c,
+            ray_keep_frac=rk, ray_stride=2))
+        def run():
+            np.asarray(fn(dirs96, eng._march_params, eng._cone_cache)[0, 0, 0])
+        return run
+
+    timed("v3 tile march rk .5 ck .5 hk .5", v3_tile(0.5, 0.5, 0.5))
+    timed("v3 tile march rk .5 ck .25 hk .35", v3_tile(0.5, 0.25, 0.35))
+
 
 if __name__ == "__main__":
     main()

@@ -87,7 +87,13 @@ def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
     sun_lum = m.smoothstep(0.002, 1.0, sun_with_bloom(eyedir, sun_dir, sun_disk_scale))
     view_pos = jnp.broadcast_to(VIEW_POS_MM, eyedir.shape)
     hits_ground = m.ray_sphere_first(view_pos, eyedir, GROUND_RADIUS_MM) >= 0.0
-    tl = transmittance_lookup(tlut, view_pos, sun_dir)
+    # The shader does this lookup per pixel (`clouds.gdshader:95`), but the
+    # view position is a constant, so every pixel fetches the SAME texel —
+    # and TPU gathers pay full row-issue latency for duplicate indices
+    # (PERF_NOTES probe_gather_runs). One fetch, broadcast: bitwise the
+    # same values, ~1 gather row per pixel removed from the display
+    # composite (921k rows at 1280×720).
+    tl = transmittance_lookup(tlut, VIEW_POS_MM[None, :], sun_dir)[0]
     has_sun = (jnp.linalg.norm(sun_lum, axis=-1) > 0.0)[..., None]
     sun_lum = jnp.where(
         has_sun, jnp.where(hits_ground[..., None], 0.0, sun_lum * tl), sun_lum
