@@ -426,8 +426,10 @@ def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
     sf = sky_ring[sky_b0]
     sb = build_brick2_device(sf + (sky_ring[sky_b1] - sf) * blend_amount,
                              (4, 8), (3, 7), wrap="clamp")
-    tb = build_brick2_device(tlut, (4, 8), (3, 7), wrap="clamp")
-    frame = composite_display(eyedirs, cb, sb, tb, light_dir,
+    # tlut stays raw: since the constant-position hoist in get_atmo the
+    # composite reads it exactly once per frame — rebricking the whole LUT
+    # to serve one fetch was pure overhead.
+    frame = composite_display(eyedirs, cb, sb, tlut, light_dir,
                               sun_disk_scale, deband=deband)
     return ring, frame
 
