@@ -245,10 +245,16 @@ def main() -> None:
                  eng.transmittance, eye, jnp.float32(0.5),
                  jnp.asarray(eng.frame_data.light_direction, jnp.float32),
                  jnp.float32(eng.config.sun_disk_scale))
-    np.asarray(_frames_looped(*loop_args))  # compile
-    dev_total_ms, _ = _median_time(
-        lambda: np.asarray(_frames_looped(*loop_args)), reps=3)
-    per_tile_device_ms = dev_total_ms / K
+    try:
+        np.asarray(_frames_looped(*loop_args))  # compile
+        dev_total_ms, _ = _median_time(
+            lambda: np.asarray(_frames_looped(*loop_args)), reps=3)
+        per_tile_device_ms = dev_total_ms / K
+    except Exception as e:  # degrade: keep the headline line alive
+        import sys
+
+        print(f"device-loop metric failed: {e!r}", file=sys.stderr)
+        per_tile_device_ms = None
 
     print(
         json.dumps(
@@ -276,8 +282,10 @@ def main() -> None:
                 "per_tile_max_ms": round(per_tile_max_ms, 1),
                 "per_tile_hitch": round(per_tile_max_ms / per_tile_ms, 2),
                 "fps_equivalent": round(1000.0 / per_tile_ms, 1),
-                "per_tile_device_ms": round(per_tile_device_ms, 2),
-                "fps_equivalent_device": round(1000.0 / per_tile_device_ms, 1),
+                "per_tile_device_ms": (round(per_tile_device_ms, 2)
+                                       if per_tile_device_ms else None),
+                "fps_equivalent_device": (round(1000.0 / per_tile_device_ms, 1)
+                                          if per_tile_device_ms else None),
                 "per_tile_readback_ms": round(per_tile_readback_ms, 1),
                 "per_tile_config":
                     "768px_64frames_128steps_fused_1280x720_tilecull",
