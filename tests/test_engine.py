@@ -611,3 +611,73 @@ def test_render_radiance_map_prefilter(engine):
     # Contrast shrinks down the chain (low-pass filtering).
     assert mips[1].std() < mips[0].std() + 1e-9
     assert mips[2].std() < mips[1].std() + 1e-9
+
+
+def test_fused_frame_loop_matches_sequential(tiny_noise):
+    """bench.py's device-only per-tile metric runs K fused frame ticks
+    inside ONE lax.fori_loop with the ring as loop carry. Guard its
+    validity: the loop-carried sweep must produce the same ring and
+    composite checksum as K sequential fused dispatches with the same
+    scalars, to ~1 ulp (XLA fuses the loop body slightly differently than
+    the standalone executable). Guards the in-loop tile index arithmetic
+    and the carried-ring plumbing."""
+    import jax
+
+    from cloudscape_tpu.engine import _render_frame_fused
+
+    kw = dict(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
+              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise,
+              kernel="fast2", cone_res=(4, 16, 16))
+    eng = CloudSkyEngine(**kw)
+    gx, gy = np.meshgrid(np.linspace(-0.4, 0.4, 8),
+                         np.linspace(0.1, 0.8, 6), indexing="xy")
+    d = np.stack([gx, gy, np.ones((6, 8))], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    eng.render_frame(d, now=0.0)  # warm state
+
+    K = 3
+    region = eng.perf.update_region_size
+    tiles_per_row = eng.perf.texture_size // region
+    n_tiles = tiles_per_row * tiles_per_row
+    common = dict(texture_size=eng.perf.texture_size, region=region,
+                  steps=eng.perf.march_steps,
+                  light_steps=eng.perf.light_steps, kernel="fast2",
+                  deband=False, capacity_frac=0.5, ray_keep_frac=None,
+                  skip_march=False)
+    scalars = (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1))
+    params = eng._march_params
+    noise_arg = eng._noise_arg
+    sky_slot = jnp.int32(eng.ring.cloud_kernel_sky_slot)
+    light = jnp.asarray(eng.frame_data.light_direction, jnp.float32)
+    disk = jnp.float32(eng.config.sun_disk_scale)
+    blend = jnp.float32(0.5)
+
+    def one(ring, tile):
+        return _render_frame_fused(
+            ring, eng.sky_ring, jnp.int32(0),
+            (tile % tiles_per_row) * region,
+            (tile // tiles_per_row) * region,
+            *scalars, params, noise_arg, sky_slot, eng.transmittance, d,
+            blend, light, disk, None, **common)
+
+    # Sequential: K separate dispatches.
+    ring_seq = eng.cloud_ring + 0.0
+    acc_seq = np.float32(0.0)
+    for i in range(K):
+        ring_seq, fr = one(ring_seq, jnp.int32(i % n_tiles))
+        acc_seq += np.asarray(fr[0, 0, 0])
+
+    # Looped: same K ticks inside one jit.
+    @jax.jit
+    def looped(ring):
+        def body(i, carry):
+            ring, acc = carry
+            ring, fr = one(ring, i % n_tiles)
+            return ring, acc + fr[0, 0, 0]
+        return jax.lax.fori_loop(0, K, body, (ring, jnp.float32(0.0)))
+
+    ring_loop, acc_loop = looped(eng.cloud_ring + 0.0)
+    np.testing.assert_allclose(np.asarray(ring_seq), np.asarray(ring_loop),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(acc_seq, float(acc_loop), rtol=1e-5)
