@@ -29,7 +29,9 @@ concurrently with any other TPU process.
 from __future__ import annotations
 
 import json
+import math
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -89,8 +91,8 @@ def main() -> None:
     from cloudscape_tpu.models import atmosphere
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
-        BrickPack, build_cone_cache, march_bricks_v3, ray_keep_fraction,
-        v3_auto_policy,
+        BrickPack, build_cone_cache, march_bricks, march_bricks_v3,
+        ray_keep_fraction, v3_auto_policy,
     )
     from cloudscape_tpu.models.packs import reference_noise_pack
 
@@ -142,8 +144,8 @@ def main() -> None:
                                         ray_stride=2)
     )
     out = np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
-    assert np.isfinite(out).all(), "benchmark render produced non-finite values"
-    assert (out[..., 3] > 0.1).mean() > 0.02, "benchmark scene rendered no clouds"
+    finite = bool(np.isfinite(out).all())
+    clouds_frac = float((out[..., 3] > 0.1).mean())
 
     # Device-complete timing: a 1-px readback forces the whole frame
     # computation to finish (and defeats the relay's async pipelining,
@@ -161,7 +163,72 @@ def main() -> None:
     np.asarray(jax.block_until_ready(fn(dirs, params, cone)))
     readback_ms = (time.perf_counter() - t0) * 1e3 - ms
 
-    # ---- Amortized operating point at the reference's shipped defaults.
+    # The headline is now banked — everything below degrades to null fields
+    # on failure so the driver ALWAYS records the march number (VERDICT r3
+    # #1: r03's capture died with zero output).
+    rec = {
+        "metric": "hemisphere_1024x512_rerender",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+        # Honest cold-start accounting (VERDICT r2 #7): the same ratio
+        # against the bake-INCLUSIVE single-shot number, until the bake is
+        # fully amortized per-frame.
+        "vs_baseline_with_bake": round(BASELINE_MS / (ms + cone_ms), 4),
+        "mrays_per_sec_per_chip": round(mrays, 2),
+        "march_steps": STEPS,
+        "finite": finite,
+        "clouds_frac": round(clouds_frac, 4),
+        "cone_build_ms": round(cone_ms, 1),
+        "cell_keep_frac": cell_keep,
+        "hot_keep_frac": hot_keep,
+        "cell_frac_measured": round(cell_frac, 4),
+        "hot_frac_measured": round(hot_frac, 4),
+        "ray_keep_frac": ray_keep,
+        "ray_keep_measured": round(keep, 4),
+        "value_with_bake": round(ms + cone_ms, 1),
+        "hemisphere_readback_ms": round(max(readback_ms, 0.0), 1),
+        "quality_gate": "tests/test_bench_config.py (>=40dB, v3 vs exact)",
+        "device": str(dev),
+        "all_ms": all_ms,
+    }
+
+    # ---- v3 quality at FULL scale, on chip (VERDICT r3 #6): PSNR vs the
+    # exact brick march (≡ the scan anchor ~1 ulp, tests/test_brick.py) at
+    # exactly the headline scene/knobs — a measured number, not the CPU
+    # ratio gate's extrapolation.
+    try:
+        exact_fn = jax.jit(
+            lambda d, p: march_bricks(d, p, bricks, sky, steps=STEPS,
+                                      chunk=32768, capacity_frac=0.2)
+        )
+        exact = np.asarray(jax.block_until_ready(exact_fn(dirs, params)))
+        peak = max(float(np.abs(exact).max()), 1e-9)
+        mse = float(((out - exact) ** 2).mean())
+        rec["quality_db_vs_exact"] = round(
+            10.0 * math.log10(peak * peak / max(mse, 1e-20)), 2)
+    except Exception as e:
+        print(f"quality capture failed: {e!r}", file=sys.stderr)
+        rec["quality_db_vs_exact"] = None
+
+    try:
+        _per_tile_metrics(rec, sun, jnp.asarray(view_dirs()))
+    except Exception as e:
+        print(f"per-tile metrics failed: {e!r}", file=sys.stderr)
+        for k in ("per_tile_ms", "per_tile_max_ms", "per_tile_hitch",
+                  "fps_equivalent", "per_tile_device_ms",
+                  "fps_equivalent_device", "per_tile_readback_ms"):
+            rec.setdefault(k, None)
+
+    print(json.dumps(rec))
+
+
+def _per_tile_metrics(rec: dict, sun, eye) -> None:
+    """Amortized operating point at the reference's shipped defaults —
+    fills rec in place so a failure anywhere leaves the headline intact."""
+    import jax
+    import jax.numpy as jnp
+
     from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
     from cloudscape_tpu.engine import CloudSkyEngine
 
@@ -172,13 +239,13 @@ def main() -> None:
                            wind_speed=10.0,
                            ground_color=(0.27, 0.19, 0.027, 1.0)),
         sun=SunState(direction=tuple(sun)),
-        kernel="fast2",
+        kernel="fast3",
         cone_res=CONE_RES,
         tile_cull=True,
     )
-    eye = jnp.asarray(view_dirs())
+    rec["per_tile_kernel"] = eng.kernel
     frame = np.asarray(eng.render_frame(eye, now=0.0))  # warm start + compile
-    assert np.isfinite(frame).all()
+    rec["per_tile_finite"] = bool(np.isfinite(frame).all())
     # per_tile_ms: frame COMPLETE on device (1-px sync defeats async
     # pipelining). A deployment displays from device memory; hauling the
     # full 11 MB frame back through the axon loopback relay costs a further
@@ -201,7 +268,14 @@ def main() -> None:
     per_tile_max_ms = max(tile_times)
     t0 = time.perf_counter()
     np.asarray(jax.block_until_ready(eng.render_frame(eye, now=140 / 60.0)))
-    per_tile_readback_ms = (time.perf_counter() - t0) * 1e3
+    rec["per_tile_ms"] = round(per_tile_ms, 2)
+    rec["per_tile_max_ms"] = round(per_tile_max_ms, 1)
+    rec["per_tile_hitch"] = round(per_tile_max_ms / per_tile_ms, 2)
+    rec["fps_equivalent"] = round(1000.0 / per_tile_ms, 1)
+    rec["per_tile_readback_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    rec["per_tile_config"] = \
+        "768px_64frames_128steps_fused_1280x720_tilecull"
+    rec["tile_all_ms"] = [round(t, 1) for t in tile_times]
 
     # ---- Device-only per-tile time (VERDICT r2 #4): K fused frame ticks
     # inside ONE executable (lax.fori_loop over the row-major tile sweep)
@@ -250,52 +324,12 @@ def main() -> None:
         dev_total_ms, _ = _median_time(
             lambda: np.asarray(_frames_looped(*loop_args)), reps=3)
         per_tile_device_ms = dev_total_ms / K
+        rec["per_tile_device_ms"] = round(per_tile_device_ms, 2)
+        rec["fps_equivalent_device"] = round(1000.0 / per_tile_device_ms, 1)
     except Exception as e:  # degrade: keep the headline line alive
-        import sys
-
         print(f"device-loop metric failed: {e!r}", file=sys.stderr)
-        per_tile_device_ms = None
-
-    print(
-        json.dumps(
-            {
-                "metric": "hemisphere_1024x512_rerender",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 4),
-                # Honest cold-start accounting (VERDICT r2 #7): the same
-                # ratio against the bake-INCLUSIVE single-shot number, until
-                # the bake is fully amortized per-frame.
-                "vs_baseline_with_bake": round(BASELINE_MS / (ms + cone_ms), 4),
-                "mrays_per_sec_per_chip": round(mrays, 2),
-                "march_steps": STEPS,
-                "cone_build_ms": round(cone_ms, 1),
-                "cell_keep_frac": cell_keep,
-                "hot_keep_frac": hot_keep,
-                "cell_frac_measured": round(cell_frac, 4),
-                "hot_frac_measured": round(hot_frac, 4),
-                "ray_keep_frac": ray_keep,
-                "ray_keep_measured": round(keep, 4),
-                "value_with_bake": round(ms + cone_ms, 1),
-                "hemisphere_readback_ms": round(max(readback_ms, 0.0), 1),
-                "per_tile_ms": round(per_tile_ms, 2),
-                "per_tile_max_ms": round(per_tile_max_ms, 1),
-                "per_tile_hitch": round(per_tile_max_ms / per_tile_ms, 2),
-                "fps_equivalent": round(1000.0 / per_tile_ms, 1),
-                "per_tile_device_ms": (round(per_tile_device_ms, 2)
-                                       if per_tile_device_ms else None),
-                "fps_equivalent_device": (round(1000.0 / per_tile_device_ms, 1)
-                                          if per_tile_device_ms else None),
-                "per_tile_readback_ms": round(per_tile_readback_ms, 1),
-                "per_tile_config":
-                    "768px_64frames_128steps_fused_1280x720_tilecull",
-                "quality_gate": "tests/test_bench_config.py (>=40dB, v3 vs exact)",
-                "device": str(dev),
-                "all_ms": all_ms,
-                "tile_all_ms": [round(t, 1) for t in tile_times],
-            }
-        )
-    )
+        rec["per_tile_device_ms"] = None
+        rec["fps_equivalent_device"] = None
 
 
 if __name__ == "__main__":

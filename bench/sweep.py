@@ -40,7 +40,7 @@ def main() -> None:
     from cloudscape_tpu.models.density import MarchParams
     from cloudscape_tpu.models.march_fast import (
         BrickPack, build_cone_cache, march_bricks, march_bricks_v2,
-        march_hierarchical, v2_auto_policy,
+        march_bricks_v3, march_hierarchical, v2_auto_policy, v3_auto_policy,
     )
     from cloudscape_tpu.models.packs import procedural_noise_pack, reference_noise_pack
 
@@ -75,6 +75,21 @@ def main() -> None:
         rec.update(extra or {})
         print(json.dumps(rec), flush=True)
 
+    def time_v3(config, name, dirs, p, sky, cc, w, h, steps, bp=None):
+        """Best-kernel row (VERDICT r3 #5): the same config through the v3
+        cell-gated headline kernel with measured auto-policy buckets."""
+        bp = bricks if bp is None else bp
+        rk, ck, hk, cell_frac, hot_frac = v3_auto_policy(
+            dirs, p, bp, steps=steps)
+        f = jax.jit(lambda d, q, c: march_bricks_v3(
+            d, q, bp, sky, steps=steps, chunk=32768, cell_keep_frac=ck,
+            hot_keep_frac=hk, cone_cache=c, ray_keep_frac=rk, ray_stride=2))
+        ms, _ = _timed(f, dirs, p, cc)
+        emit(config, name, ms, w, h,
+             {"kernel": "v3", "ray_keep_frac": rk, "cell_keep_frac": ck,
+              "hot_keep_frac": hk, "cell_frac": round(float(cell_frac), 4),
+              "hot_frac": round(float(hot_frac), 4)})
+
     if 1 in which:
         # Config 1: static noon sun, 256×128, 32 steps, baked inputs.
         sky, p = scene([0.05, 0.99, 0.05])
@@ -100,8 +115,10 @@ def main() -> None:
             cone_cache=c, ray_keep_frac=rk, ray_stride=2, t_cutoff=tc))
         ms, _ = _timed(f, dirs, p, cc)
         emit(2, "wind_amortized_512x256x64_fullmap", ms, 512, 256,
-             {"per_tile_ms_at_64frames": round(ms / 64.0, 2),
+             {"kernel": "v2", "per_tile_ms_at_64frames": round(ms / 64.0, 2),
               "ray_keep_frac": rk, "capacity_frac": cap})
+        time_v3(2, "wind_amortized_512x256x64_fullmap_v3", dirs, p, sky, cc,
+                512, 256, 64)
 
     if 3 in which:
         # Config 3: full atmosphere + sun sweep, 1024×512 (the headline;
@@ -121,8 +138,10 @@ def main() -> None:
             jnp.asarray([0.3, 0.5, -0.8], jnp.float32),
         )
         emit(3, "atmosphere_sweep_1024x512x128", ms, 1024, 512,
-             {"sky_lut_ms": round(lut_ms, 2), "ray_keep_frac": rk,
-              "capacity_frac": cap})
+             {"kernel": "v2", "sky_lut_ms": round(lut_ms, 2),
+              "ray_keep_frac": rk, "capacity_frac": cap})
+        time_v3(3, "atmosphere_sweep_1024x512x128_v3", dirs, p, sky, cc,
+                1024, 512, 128)
 
     if 4 in which:
         # Config 4: fully procedural noise (Pallas generators), no assets.
@@ -144,9 +163,11 @@ def main() -> None:
             cone_cache=c, ray_keep_frac=rk, ray_stride=2, t_cutoff=tc))
         ms, out = _timed(f, dirs, p, cc)
         emit(4, "procedural_pallas_512x256x64", ms, 512, 256,
-             {"pallas_base_gen_ms": round(gen_ms, 1),
+             {"kernel": "v2", "pallas_base_gen_ms": round(gen_ms, 1),
               "ray_keep_frac": rk, "capacity_frac": cap,
               "clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3)})
+        time_v3(4, "procedural_pallas_512x256x64_v3", dirs, p, sky, cc,
+                512, 256, 64, bp=pb)
 
     if 5 in which:
         # Config 5: hierarchical march, 2048×1024, 128 adaptive steps —

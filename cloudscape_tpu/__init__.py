@@ -4,8 +4,12 @@ A ground-up rebuild of the capabilities of clayjohn/godot-volumetric-cloud-demo-
 (reference mounted read-only at /root/reference) designed TPU-first:
 
 - the three Vulkan GLSL compute kernels (clouds.glsl, sky-lut.glsl,
-  transmittance-lut.glsl) become jitted JAX stages and a tiled Pallas raymarch
-  kernel over hemisphere ray batches;
+  transmittance-lut.glsl) become jitted JAX stages: the raymarch is an
+  XLA-gather brick-table design (prefix-product accumulation, occupancy
+  compaction, coarse-cell gating) with Pallas kernels where they measurably
+  win (accumulation, stream compaction, procedural noise) — a per-row Pallas
+  gather march was measured ~200× below XLA's gather path and rejected
+  (docs/PERF_NOTES.md);
 - the Godot sky composite shader (clouds.gdshader) becomes a jitted
   view-sampling/composite stage;
 - the GDScript orchestration (cloud_sky.gd, sky_lut.gd, transmittance_lut.gd,

@@ -238,15 +238,51 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
 
 
+# Tile-scale crossover for the "fast3" kernel: below this many rays the
+# cull/compaction machinery (prepass + 3 compactions + scatters) costs more
+# than the dense gather rows it removes, so tiles march DENSE (no machinery
+# at all — the reference's own per-frame operating point is one 96² tile,
+# `cloud_sky/cloud_sky.gd:83,111`); at/above it the tile takes the staged v2
+# path. Measured on v5e (bench/probe_tile_kernels.py, docs/PERF_NOTES.md
+# round 4).
+V3_TILE_MIN_RAYS = 65536
+
+
 def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
                 light_steps: int, kernel: str, capacity_frac: float = 0.5,
                 ray_keep_frac: float | None = None, cull_prio=None):
     """Shared tile march body: kernel selects the scan-based reference march
     ("reference", takes a NoisePack), the exact brick-table march ("fast",
-    takes a BrickPack), or the row-lean staged march ("fast2", takes a
-    (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle).
+    takes a BrickPack), the row-lean staged march ("fast2", takes a
+    (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle), or the
+    tile-scale-adaptive production kernel ("fast3", same tuple: DENSE
+    machinery-free march below V3_TILE_MIN_RAYS, the staged v2 march above;
+    monolithic fast3 renders go through the measured-policy v3 headline
+    kernel in `CloudSkyEngine.render_full_hemisphere`).
     ray_keep_frac + cull_prio (fast2 only) enable per-tile ray culling from
-    a precomputed priority window."""
+    a precomputed priority window; the fast3 dense arm ignores them (its
+    tile culling is the engine's 0.0-bucket whole-tile skip)."""
+    if kernel == "fast3":
+        import numpy as _np
+
+        from cloudscape_tpu.models.march_fast import (
+            march_bricks_v2, march_tile_dense,
+        )
+
+        bricks, cone_cache = noise
+        n = int(_np.prod(dirs.shape[:-1]))
+        if n < V3_TILE_MIN_RAYS:
+            return march_tile_dense(dirs, params, bricks, sky_img,
+                                    steps=steps, light_steps=light_steps,
+                                    chunk=min(n, 16384),
+                                    cone_cache=cone_cache)
+        return march_bricks_v2(dirs, params, bricks, sky_img, steps=steps,
+                               light_steps=light_steps,
+                               chunk=min(n, 16384),
+                               capacity_frac=capacity_frac,
+                               cone_cache=cone_cache,
+                               ray_keep_frac=ray_keep_frac,
+                               cull_prio=cull_prio)
     if kernel == "fast2":
         from cloudscape_tpu.models.march_fast import march_bricks_v2
 
@@ -476,9 +512,12 @@ class CloudSkyEngine:
     ):
         """kernel: "fast" (brick-table, occupancy-compacted march — exact,
         the default), "fast2" (row-lean staged march + per-cycle cone-density
-        cache — the serving path, ~40% faster per tile, ≥40 dB-gated vs
-        "fast"), or "reference" (scan-based march, the numerics anchor; all
-        gated against the f64 oracle).
+        cache — ~40% faster per tile, ≥40 dB-gated vs "fast"), "fast3" (the
+        production/headline kernel: tiles below V3_TILE_MIN_RAYS march DENSE
+        with zero machinery, larger tiles take the staged v2 path, and
+        monolithic renders go through the measured-policy v3 cell-gated
+        march — the same kernel bench.py times), or "reference" (scan-based
+        march, the numerics anchor; all gated against the f64 oracle).
 
         cone_res: (hf, z, x) resolution of the fast2 cone cache, rebuilt at
         every cycle boundary ((32, 512, 512) holds 42 dB at the full bench
@@ -499,12 +538,15 @@ class CloudSkyEngine:
         row block — tests/test_sharding.py). Default off: culled tiles are
         not bitwise-identical to unculled ones (the amortized ≡ monolithic
         invariant holds only within a mode)."""
-        if kernel not in ("fast", "fast2", "reference"):
+        if kernel not in ("fast", "fast2", "fast3", "reference"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
+        # "Staged" kernels march against the per-cycle cone-density cache
+        # (fast2's row-lean staged march; fast3's dense/v2/v3 tile policy).
+        self._staged = kernel in ("fast2", "fast3")
         self.cone_res = tuple(cone_res)
         self.mesh = mesh
-        self.tile_cull = bool(tile_cull) and kernel == "fast2"
+        self.tile_cull = bool(tile_cull) and self._staged
         # cone_prebake (fast2, default ON): amortize the per-cycle cone bake
         # over the cycle's ticks by freezing FrameData one rotation ahead
         # (see _PendingCycle). With a static scene the output is bitwise
@@ -512,9 +554,10 @@ class CloudSkyEngine:
         # parameters take effect one cycle later than the reference's
         # boundary pickup (documented in docs/PARITY.md). Set False for
         # exact reference pickup latency (and the boundary-frame stall).
-        self.cone_prebake = (kernel == "fast2") if cone_prebake is None \
-            else (bool(cone_prebake) and kernel == "fast2")
+        self.cone_prebake = self._staged if cone_prebake is None \
+            else (bool(cone_prebake) and self._staged)
         self._pending: Optional[_PendingCycle] = None
+        self._v3_policy_cache = None
         self._prio_map = None
         self._tile_buckets = None
         self.perf = perf.validate()
@@ -526,7 +569,7 @@ class CloudSkyEngine:
         self.config = config
         self.sun = sun
         self.noise = noise if noise is not None else reference_noise_pack()
-        if kernel in ("fast", "fast2"):
+        if kernel in ("fast", "fast2", "fast3"):
             from cloudscape_tpu.models.march_fast import BrickPack
 
             self._bricks = BrickPack.from_noise(self.noise)
@@ -692,13 +735,14 @@ class CloudSkyEngine:
         baked incrementally across this cycle's ticks instead of stalling
         the boundary frame. Falls back to the synchronous bake whenever the
         pending bake didn't finish (cold start, update_cycle-driven use)."""
-        if not (self.cone_prebake and self.kernel == "fast2"):
+        self._v3_policy_cache = None  # per-snapshot (fast3 monolithic path)
+        if not (self.cone_prebake and self._staged):
             self.frame_data.update_light_data(
                 self.sun, getattr(self, "_sun_srgb", False))
             self.frame_data.update_config(self.config)
             self.frame_data.integrate_wind(now)
             self._march_params = self.frame_data.to_march_params()
-            if self.kernel == "fast2":
+            if self._staged:
                 # The cone-density cache is valid for exactly one FrameData
                 # snapshot; rebuild at every refresh (cycle boundary / warm
                 # start). Cost amortizes over frames_to_update tile ticks.
@@ -775,10 +819,15 @@ class CloudSkyEngine:
     def _buckets_from_keep(self, keep):
         """Quantize per-tile keep fractions into the warmed capacity
         buckets, 1.1 margin (shared by the synchronous and amortized cull
-        paths)."""
+        paths). fast3's dense tile arm has no per-ray cull — its tile
+        culling is binary (a provably-empty tile skips the march entirely,
+        everything else marches dense), so only {0.0, 1.0} are used and
+        only two executables are warmed."""
+        tiers = ((0.0, 1.0) if self.kernel == "fast3"
+                 else self._TILE_BUCKETS)
         buckets = []
         for k in keep:
-            for b in self._TILE_BUCKETS:
+            for b in tiers:
                 if k * 1.1 <= b:
                     buckets.append(b)
                     break
@@ -803,7 +852,7 @@ class CloudSkyEngine:
         slices, cull finalize (dispatch only), and the tile-keep host
         readback (tiny — the prepass itself completed ticks ago)."""
         pend = self._pending
-        if pend is None or not (self.cone_prebake and self.kernel == "fast2"):
+        if pend is None or not (self.cone_prebake and self._staged):
             return
         if pend.fresh:
             pend.fresh = False
@@ -982,7 +1031,7 @@ class CloudSkyEngine:
     def _noise_arg(self):
         """The `noise` argument the tile kernels expect for this engine's
         kernel mode."""
-        if self.kernel == "fast2":
+        if self._staged:
             return (self._bricks, self._cone_cache)
         if self.kernel == "fast":
             return self._bricks
@@ -1274,15 +1323,79 @@ class CloudSkyEngine:
         self._advance_prebake()
         return frame
 
+    def _v3_march_knobs(self):
+        """(prepass_steps, ray_stride) for the v3 march at this engine's
+        shapes: the largest divisor of march_steps ≤ steps/4 (the cull/cell
+        grid), stride 2 when the texture edge allows it."""
+        steps = self.perf.march_steps
+        ps = max(1, steps // 4)
+        while steps % ps:
+            ps -= 1
+        return ps, (2 if self.perf.texture_size % 2 == 0 else 1)
+
+    def _v3_policy(self, params):
+        """Measured capacity buckets for the fast3 monolithic (v3) render —
+        `v3_auto_policy` over the full texel grid (two probe-scale device
+        calls), cached for the frozen cycle snapshot (recomputed whenever
+        explicit params are passed; quantized buckets keep the executable
+        count bounded)."""
+        cycle = params is self._march_params
+        if cycle and self._v3_policy_cache is not None:
+            return self._v3_policy_cache
+        from cloudscape_tpu.models.march_fast import (
+            select_cell_keep_frac, v3_auto_policy,
+        )
+
+        ps, stride = self._v3_march_knobs()
+        rk, ck, hk, cell_frac, hot_frac = v3_auto_policy(
+            texel_directions(self.perf.texture_size), params, self._bricks,
+            steps=self.perf.march_steps, ray_stride=stride,
+            prepass_steps=ps)
+        if ps < 8:
+            # Too few prepass probes to RANK rays reliably: the cull
+            # priority is max-pre over ps samples, and at ps < 8 the
+            # margin band misses occupied rays — whole-ray (binary)
+            # errors, measured 22.8 dB at steps=16/ps=4 vs 61.5 dB at the
+            # production 128/32. Keep every ray (cheap) and let the cell
+            # gate (per-cell conservative: margin + dilation) do the
+            # skipping; rebase the cell/hot buckets to the uncull totals.
+            rk = 1.0
+            ck = select_cell_keep_frac(float(cell_frac))
+            hk = select_cell_keep_frac(float(hot_frac) / max(ck, 1e-6),
+                                       margin=1.2)
+        if cycle:
+            self._v3_policy_cache = (rk, ck, hk)
+        return rk, ck, hk
+
     def render_full_hemisphere(self, params: Optional[MarchParams] = None,
                                sky_img=None) -> jax.Array:
         """Monolithic full-map render (no amortization) — the benchmark path
-        and the oracle for temporal-consistency tests."""
+        and the oracle for temporal-consistency tests.
+
+        kernel="fast3" routes through the v3 cell-gated headline march with
+        per-cycle measured capacity buckets — exactly the kernel/policy
+        bench.py times (VERDICT r3 #2), gated ≥ 40 dB vs the exact march
+        (tests/test_bench_config.py). The other kernels render their own
+        exact/staged math (bitwise the amortized cycle's tiling)."""
         if params is None:
             params = self._march_params
         if sky_img is None:
             sky_img = self.sky_ring[self.ring.cloud_kernel_sky_slot]
         dirs = texel_directions(self.perf.texture_size)
+        if self.kernel == "fast3":
+            from cloudscape_tpu.models.march_fast import march_bricks_v3
+
+            rk, ck, hk = self._v3_policy(params)
+            ps, stride = self._v3_march_knobs()
+            n = self.perf.texture_size ** 2
+            return march_bricks_v3(
+                dirs, params, self._bricks, sky_img,
+                steps=self.perf.march_steps,
+                light_steps=self.perf.light_steps,
+                chunk=min(n, 32768), cell_keep_frac=ck, hot_keep_frac=hk,
+                cone_cache=self._cone_cache, ray_keep_frac=rk,
+                prepass_steps=ps, ray_stride=stride,
+            )
         if self.kernel in ("fast", "fast2"):
             noise_arg = self._noise_arg if self.kernel == "fast2" else \
                 self._bricks
@@ -1382,8 +1495,9 @@ class CloudSkyEngine:
         self._head_frame_data = copy.deepcopy(self.frame_data)
         self._pending = None
         self._picked_sky = None
+        self._v3_policy_cache = None
         self._derive_prebake_schedule()
-        if self.kernel == "fast2":
+        if self._staged:
             # Derived per-cycle state: rebuild for the restored snapshot.
             self._cone_cache = _build_cone_jit(
                 self._march_params, self._bricks,

@@ -887,16 +887,39 @@ def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
     return jnp.where(above[..., None], out, 0.0)
 
 
-def _dilate_max(m2):
-    """3×3 max dilation, separable (rows then cols — 4 maxes, not 8)."""
-    d = jnp.maximum(m2, jnp.maximum(jnp.roll(m2, 1, 0), jnp.roll(m2, -1, 0)))
+def _halo_rows(a, axis_name: str):
+    """±1-row halo over a row-sharded grid: each shard receives its up
+    neighbor's LAST row and its down neighbor's FIRST row through a cyclic
+    `ppermute` ring (rides ICI). The ring wrap reproduces `jnp.roll`'s
+    global wrap semantics exactly, so a dilation computed on the halo'd
+    block is bitwise the unsharded dilation of the full grid. Returns
+    [rows+2, ...] (halo row 0 above, halo row -1 below)."""
+    D = jax.lax.axis_size(axis_name)
+    down = [(i, (i + 1) % D) for i in range(D)]
+    up = [(i, (i - 1) % D) for i in range(D)]
+    top = jax.lax.ppermute(a[-1:], axis_name, down)
+    bot = jax.lax.ppermute(a[:1], axis_name, up)
+    return jnp.concatenate([top, a, bot], axis=0)
+
+
+def _dilate_max(m2, axis_name: str | None = None):
+    """3×3 max dilation, separable (rows then cols — 4 maxes, not 8).
+    axis_name: the grid's row axis is sharded over that mesh axis — the
+    row pass uses a ppermute halo instead of jnp.roll (bitwise equal)."""
+    if axis_name is None:
+        d = jnp.maximum(m2, jnp.maximum(jnp.roll(m2, 1, 0),
+                                        jnp.roll(m2, -1, 0)))
+    else:
+        e = _halo_rows(m2, axis_name)
+        d = jnp.maximum(e[1:-1], jnp.maximum(e[:-2], e[2:]))
     return jnp.maximum(d, jnp.maximum(jnp.roll(d, 1, 1), jnp.roll(d, -1, 1)))
 
 
 def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
                   steps: int, prepass_steps: int, chunk: int,
                   cull_shape: tuple | None, ray_stride: int = 1,
-                  cell_margin: float | None = None):
+                  cell_margin: float | None = None,
+                  axis_name: str | None = None):
     """Coarse exact prepass shared by the ray cull and (v3) cell staging.
 
     Returns (prio, occ_cells, meta):
@@ -970,7 +993,13 @@ def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
         if grid:
             gh, gw = (hs, ws) if sub else cull_shape
             o = occ.reshape(gh, gw, prepass_steps)
-            o = o | jnp.roll(o, 1, 0) | jnp.roll(o, -1, 0)
+            if axis_name is None:
+                o = o | jnp.roll(o, 1, 0) | jnp.roll(o, -1, 0)
+            else:
+                # Row axis sharded over the mesh: halo exchange keeps the
+                # dilation bitwise-identical to the unsharded grid.
+                e = _halo_rows(o, axis_name)
+                o = e[1:-1] | e[:-2] | e[2:]
             o = o | jnp.roll(o, 1, 1) | jnp.roll(o, -1, 1)
             occ = o.reshape(n_p, prepass_steps)
             meta = (gh, gw, ray_stride if sub else 1)
@@ -985,7 +1014,7 @@ def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
     prio = jnp.where(above_p, prio, neg_inf)
     if sub:
         d2 = jnp.maximum(prio.reshape(hs, ws),
-                         _dilate_max(prio.reshape(hs, ws)) - 0.1)
+                         _dilate_max(prio.reshape(hs, ws), axis_name) - 0.1)
         prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
                           axis=1).reshape(-1)
         return jnp.where(above, prio, neg_inf), occ_cells, meta
@@ -993,7 +1022,8 @@ def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
         m2 = prio.reshape(cull_shape)
         prio = jnp.where(above,
                          jnp.maximum(prio.reshape(-1),
-                                     _dilate_max(m2).reshape(-1) - 0.1),
+                                     _dilate_max(m2, axis_name).reshape(-1)
+                                     - 0.1),
                          neg_inf)
     return prio, occ_cells, meta
 
@@ -1377,7 +1407,8 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
                  ray_keep_frac: float | None = None,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
                  ray_stride: int = 1, cell_margin: float = 0.1,
-                 hot_keep_frac: float = 0.5, debug_stage: int = 0):
+                 hot_keep_frac: float = 0.5, debug_stage: int = 0,
+                 axis_name: str | None = None):
     """Window-staged march core (the v3 headline variant — VERDICT r2 #1).
 
     `_march_core2` still marches ALL `steps` samples of every kept ray
@@ -1427,7 +1458,7 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
 
     prio, occ_cells, meta = _cull_prepass(
         above, ndir, ss, p0, params, bp, steps, P, chunk, cull_shape,
-        ray_stride, cell_margin)
+        ray_stride, cell_margin, axis_name)
     if debug_stage == 1:  # prepass only
         return _dbg(prio, occ_cells)
 
@@ -1913,7 +1944,8 @@ def v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
                                    "cell_keep_frac", "cone_res",
                                    "ray_keep_frac", "prepass_steps",
                                    "ray_stride", "cell_margin",
-                                   "hot_keep_frac", "debug_stage"))
+                                   "hot_keep_frac", "debug_stage",
+                                   "axis_name"))
 def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     steps: int = 128, light_steps: int = 6,
                     chunk: int = 32768, cell_keep_frac: float = 0.5,
@@ -1922,14 +1954,24 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     ray_keep_frac: float | None = None,
                     prepass_steps: int = 32, ray_stride: int = 1,
                     cell_margin: float = 0.1, hot_keep_frac: float = 0.5,
-                    debug_stage: int = 0):
+                    debug_stage: int = 0, axis_name: str | None = None):
     """Window-staged fast march (the v3 headline path): `_march_core3` over
     world directions — v2's staged machinery with the dense phase replaced
     by coarse-cell-gated sample compaction from the shared cull prepass.
     Position-matched to `march_bricks` / `march_bricks_v2` (identical fine
     sample placement); the cell gate's conservatism is margin+dilation
     (gated ≥ 40 dB in tests/test_march_v3.py). Size the buckets with
-    `v3_auto_policy`."""
+    `v3_auto_policy`.
+
+    axis_name (inside `shard_map` only): dirs' ROW axis is sharded over
+    that mesh axis — the prepass dilations halo-exchange one boundary row
+    over ICI (`_halo_rows`) so the cell gate is BITWISE the unsharded
+    gate (no whole-ray/whole-cell decision depends on the sharding).
+    Rendered values are tolerance-equal, not bitwise: XLA's SPMD
+    compilation makes different fma-contraction choices inside a
+    shard_map body (≤ ~1e-2 on the image through the exp accumulation —
+    tests/test_sharding.py). Capacities size per shard; keep the buckets
+    overflow-free for that equivalence."""
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = dirs.shape[:-1]
     flat = dirs.reshape(-1, 3)
@@ -1943,7 +1985,107 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps, min(chunk, max(n, 1)), cell_keep_frac,
                        cone_cache, ray_keep_frac, prepass_steps,
                        shape if len(shape) == 2 else None, ray_stride,
-                       cell_margin, hot_keep_frac, debug_stage)
+                       cell_margin, hot_keep_frac, debug_stage, axis_name)
+    return out.reshape(shape + (4,))
+
+
+def _march_core_dense(above, ndir, ss, p0, phase, params: MarchParams,
+                      bp: BrickPack, atmos, steps: int, chunk: int,
+                      cone_cache: "ConeCache"):
+    """Machinery-free staged march: exactly `_march_core2`'s per-sample
+    math (weather row + large-noise pre + staged-erosion semantics + cone
+    cache) evaluated DENSELY on every (ray, step) sample — no prepass, no
+    ray cull, no compaction, no scatters. Below the measured tile-scale
+    crossover (docs/PERF_NOTES.md round 4) the capacity machinery's fixed
+    cost exceeds the gather rows it saves, so this is the serving-tile
+    arm of the "fast3" engine kernel (the reference's own operating point:
+    one 96² tile × 128 steps per frame, `cloud_sky/cloud_sky.gd:83,111`).
+
+    Matches `_march_core2` at ample capacity with culling off and
+    weather_every=1 to ulp-level fusion noise (≤4e-7 observed — XLA builds
+    different fma/reduction trees for the dense-plane vs compacted-list
+    forms; tests/test_tile_dense.py): `t` is zero wherever `pre ≤ 0`
+    (erosion only reduces density), `cd` is masked by `t > 0` — the same
+    selects core2 applies on its compacted list."""
+    n = ndir.shape[0]
+    lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+
+    def _pos(p0c, ndirc, ssc):
+        tt = ssc[:, None] * i_step[None, :]
+        return (p0c[:, 0, None] + ndirc[:, 0, None] * tt,
+                p0c[:, 1, None] + ndirc[:, 1, None] * tt,
+                p0c[:, 2, None] + ndirc[:, 2, None] * tt)
+
+    # One single-gather-stream pass per texture (weather → pre → erosion →
+    # cone), positions recomputed per pass (pure ALU — free next to gather
+    # issue): the interleaved-stream penalty rule, docs/PERF_NOTES.md.
+    def weather_chunk(args):
+        p0c, ndirc, ssc = args
+        px, _, pz = _pos(p0c, ndirc, ssc)
+        w = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        return w[..., 0], w[..., 1]
+
+    def pre_chunk(args):
+        p0c, ndirc, ssc, wrc, wbc = args
+        px, py, pz = _pos(p0c, ndirc, ssc)
+        weather = jnp.stack([wrc, wbc], axis=-1)
+        return _density_pre_xyz(px, py, pz, weather, 0.0, params, bp)
+
+    def erosion_chunk(args):
+        p0c, ndirc, ssc, prec, hfc = args
+        px, py, pz = _pos(p0c, ndirc, ssc)
+        t_c = _density_finish_xyz(prec, hfc, px, py, pz, 0.0, params, bp)
+        return jnp.where(prec > 0.0, t_c, 0.0)
+
+    def cone_chunk(args):
+        p0c, ndirc, ssc, tc = args
+        px, py, pz = _pos(p0c, ndirc, ssc)
+        qx, qz, qh = _cone_cache_coords_xyz(px, py, pz, cone_cache.extent)
+        cd_c = sample_brick3_xyz(cone_cache.table, qx, qz, qh)[..., 0]
+        return jnp.where(tc > 0.0, cd_c, 0.0)
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(p0, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(ss, chunk, jnp.float32(1.0)),
+    )
+    w_r, w_b = jax.lax.map(weather_chunk, blocks)
+    pre, hf = jax.lax.map(pre_chunk, blocks + (w_r, w_b))
+    t = jax.lax.map(erosion_chunk, blocks + (pre, hf))
+    cd = jax.lax.map(cone_chunk, blocks + (t,))
+
+    def _sl(a):
+        return a.reshape(-1, steps)[:n]
+
+    return _accumulate_phase3(_sl(t), _sl(cd), _sl(hf), ss, phase, above,
+                              params, atmos, lss, steps, chunk)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "chunk",
+                                   "cone_res"))
+def march_tile_dense(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
+                     steps: int = 128, light_steps: int = 6,
+                     chunk: int = 16384,
+                     cone_cache: "ConeCache | None" = None,
+                     cone_res=(32, 512, 512)):
+    """Dense small-tile march (`_march_core_dense` over world directions):
+    the serving-tile arm of the engine's "fast3" kernel. Same per-sample
+    values as `march_bricks_v2` with culling off at ample capacity
+    (tests/test_tile_dense.py); use the v2/v3 paths above the tile-scale
+    crossover where the capacity machinery pays for itself."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    atmos = ambient_colors(params, sky_lut_img)
+    if cone_cache is None:
+        cone_cache = build_cone_cache(params, bp, light_steps, res=cone_res,
+                                      chunk=min(chunk, max(n, 1)))
+    above, ndir, ss, p0, phase, _ = _ray_setup(flat, params, steps)
+    out = _march_core_dense(above, ndir, ss, p0, phase, params, bp, atmos,
+                            steps, min(chunk, max(n, 1)), cone_cache)
     return out.reshape(shape + (4,))
 
 

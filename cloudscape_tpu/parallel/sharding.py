@@ -39,11 +39,36 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(list(devices), (axis_name,))
 
 
-def _march_for(kernel: str, steps: int, light_steps: int):
+def _march_for(kernel: str, steps: int, light_steps: int,
+               axis_name: str = "rays", v3_policy=(1.0, 0.75, 0.75)):
     """Per-shard march callable: reference (NoisePack), fast (BrickPack),
-    or fast2 (the production row-lean staged march; noise is a
-    (BrickPack, ConeCache) tuple, both replicated — the cone cache is
-    per-cycle state exactly as in the engine)."""
+    fast2 (the row-lean staged march), or fast3 (the v3 cell-gated headline
+    march — its prepass dilations halo-exchange one boundary row over ICI
+    via `_halo_rows`, so the sharded cell GATE is bitwise the unsharded
+    one; rendered values are tolerance-equal, ≤ ~1e-2 SPMD fma noise,
+    tests/test_sharding.py. v3_policy = (ray_keep, cell_keep, hot_keep)
+    buckets, sized per shard — keep them overflow-free).
+    For fast2/fast3, noise is a (BrickPack, ConeCache) tuple, both
+    replicated — the cone cache is per-cycle state exactly as in the
+    engine."""
+    if kernel == "fast3":
+        from cloudscape_tpu.models.march_fast import march_bricks_v3
+
+        ps = max(1, steps // 4)
+        while steps % ps:
+            ps -= 1
+        rk, ck, hk = v3_policy
+
+        def f3(d, p, n, s):
+            bricks, cone = n
+            return march_bricks_v3(
+                d, p, bricks, s, steps=steps, light_steps=light_steps,
+                chunk=16384, cell_keep_frac=ck, hot_keep_frac=hk,
+                cone_cache=cone, ray_keep_frac=rk, prepass_steps=ps,
+                ray_stride=2, axis_name=axis_name,
+            )
+
+        return f3
     if kernel == "fast2":
         from cloudscape_tpu.models.march_fast import march_bricks_v2
 
@@ -67,11 +92,11 @@ def _march_for(kernel: str, steps: int, light_steps: int):
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "mesh",
-                                   "axis_name", "kernel"))
+                                   "axis_name", "kernel", "v3_policy"))
 def _render_sharded(dirs, params, noise, sky_img, *, steps, light_steps, mesh,
-                    axis_name, kernel):
+                    axis_name, kernel, v3_policy=(1.0, 0.75, 0.75)):
     shard = jax.shard_map(
-        _march_for(kernel, steps, light_steps),
+        _march_for(kernel, steps, light_steps, axis_name, v3_policy),
         mesh=mesh,
         in_specs=(P(axis_name), P(), P(), P()),
         out_specs=P(axis_name),
@@ -83,7 +108,8 @@ def render_hemisphere_sharded(mesh: Mesh, texture_size: int,
                               params: MarchParams, noise, sky_img,
                               steps: int = 128, light_steps: int = 6,
                               axis_name: str = "rays",
-                              kernel: str = "reference"):
+                              kernel: str = "reference",
+                              v3_policy=(1.0, 0.75, 0.75)):
     """Monolithic full-hemisphere render with rows sharded over the mesh.
 
     texture_size rows must divide the mesh size. `noise` is a NoisePack
@@ -102,7 +128,8 @@ def render_hemisphere_sharded(mesh: Mesh, texture_size: int,
     )
     return _render_sharded(dirs, params, noise, sky_img, steps=steps,
                            light_steps=light_steps, mesh=mesh,
-                           axis_name=axis_name, kernel=kernel)
+                           axis_name=axis_name, kernel=kernel,
+                           v3_policy=tuple(v3_policy))
 
 
 @partial(jax.jit, static_argnames=("texture_size", "steps", "light_steps",

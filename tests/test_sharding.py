@@ -97,6 +97,109 @@ def test_sharded_fast2_kernel_matches_single(setup):
     np.testing.assert_allclose(shard, single, atol=1e-6)
 
 
+def test_sharded_v3_prepass_gate_bitwise(setup):
+    """The v3 cell gate under shard_map — VERDICT r3 #2. The prepass
+    dilations halo-exchange their boundary rows over the mesh
+    (`_halo_rows`: a cyclic ppermute ring reproducing jnp.roll's wrap), so
+    the sharded cull priority AND cell-occupancy gate are BITWISE the
+    unsharded ones — whole-ray/whole-cell decisions never depend on the
+    sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from cloudscape_tpu.models.march_fast import (
+        BrickPack, _cull_prepass, _ray_setup,
+    )
+
+    noise, _, _, params, _ = setup
+    bp = BrickPack.from_noise(noise)
+    mesh = sharding.make_mesh()
+    dirs = texel_directions(64)
+
+    def prepass(d, axis_name=None):
+        H, W = d.shape[0], d.shape[1]
+        flat = d.reshape(-1, 3)
+        above, ndir, ss, p0, _, _ = _ray_setup(flat, params, 8)
+        prio, occ, _ = _cull_prepass(above, ndir, ss, p0, params, bp, 8, 2,
+                                     min(16384, flat.shape[0]), (H, W), 2,
+                                     0.1, axis_name)
+        return prio.reshape(H, W), occ.reshape(H // 2, W // 2, 2)
+
+    prio_s, occ_s = jax.shard_map(
+        lambda d: prepass(d, "rays"), mesh=mesh,
+        in_specs=(P("rays"),), out_specs=(P("rays"), P("rays")))(dirs)
+    prio_1, occ_1 = prepass(dirs)
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_1))
+    np.testing.assert_array_equal(np.asarray(prio_s), np.asarray(prio_1))
+    assert np.asarray(occ_1).any() and not np.asarray(occ_1).all()
+
+
+def test_sharded_fast3_kernel_matches_single(setup):
+    """The v3 (headline) kernel under shard_map — VERDICT r3 #2. The gate
+    is bitwise (test above); the rendered VALUES are tolerance-equal, not
+    bitwise: inside a shard_map body with collectives XLA makes different
+    fma-contraction/fusion choices in the erosion chain (~1 ulp on sample
+    positions/t — measured: a plain unsharded call on one shard's rows IS
+    bitwise the full render, only the shard_map compilation differs),
+    amplified through the exp accumulation to ≤ ~1e-2 on the image — the
+    same noise class as the repo's other cross-form gates
+    (tests/test_march_v3.py::test_v3_gates_off_matches_v2)."""
+    from cloudscape_tpu.models.march_fast import (
+        BrickPack, build_cone_cache, march_bricks_v3,
+    )
+    from cloudscape_tpu.utils.image import psnr
+
+    noise, _, slut, params, _ = setup
+    bp = BrickPack.from_noise(noise)
+    cone = build_cone_cache(params, bp, 2, res=(8, 64, 64), chunk=4096)
+    mesh = sharding.make_mesh()
+    n = 64
+    shard = np.asarray(
+        sharding.render_hemisphere_sharded(mesh, n, params, (bp, cone), slut,
+                                           steps=8, light_steps=2,
+                                           kernel="fast3")
+    )
+    # Same knobs as sharding._march_for's fast3 arm (default v3_policy).
+    single = np.asarray(
+        march_bricks_v3(texel_directions(n), params, bp, slut, steps=8,
+                        light_steps=2, chunk=16384, cell_keep_frac=0.75,
+                        hot_keep_frac=0.75, cone_cache=cone,
+                        ray_keep_frac=1.0, prepass_steps=2, ray_stride=2)
+    )
+    np.testing.assert_allclose(shard, single, atol=2e-2)
+    p = psnr(shard, single)
+    assert p > 60.0, f"sharded v3 vs single {p:.1f} dB"
+    # The gate being bitwise shows up as most texels exactly equal.
+    assert (shard == single).all(axis=-1).mean() > 0.9
+    assert np.abs(single).max() > 0.0, "sharded v3 test is vacuous"
+
+
+def test_mesh_engine_fast3_matches_single(setup):
+    """CloudSkyEngine(mesh=..., kernel='fast3'): the dense tile arm is pure
+    per-ray math, so the mesh engine must step identically to the
+    single-device fast3 engine."""
+    from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
+    from cloudscape_tpu.engine import CloudSkyEngine
+
+    noise, _, _, _, sun = setup
+    kw = dict(
+        perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=tuple(sun)),
+        noise=noise,
+        kernel="fast3",
+        cone_res=(8, 64, 64),
+    )
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw, mesh=sharding.make_mesh())
+    for k in range(3):
+        a.update_sky(now=0.1 * k)
+        b.update_sky(now=0.1 * k)
+    np.testing.assert_allclose(
+        np.asarray(a.cloud_ring), np.asarray(b.cloud_ring), atol=1e-6
+    )
+
+
 def test_indivisible_rows_raise(setup):
     noise, _, slut, params, _ = setup
     mesh = sharding.make_mesh()
