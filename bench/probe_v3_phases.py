@@ -15,14 +15,16 @@ Run ALONE on the TPU. Budget: each stage is ONE new jit signature
 ladder: run 1,2,3 then 4,5,6 then 7,8,9,0.
 """
 
+import os
 import statistics
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     import importlib.util
-    import os
 
     import jax
     import jax.numpy as jnp

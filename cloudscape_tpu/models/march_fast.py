@@ -1507,7 +1507,6 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     live = occ_rows & above[:, None]  # [n, P]
 
     lss = (SKY_T_RADIUS - SKY_B_RADIUS) / 64.0
-    total = n * steps
     total_cells = n * P
 
     # ---- Live-CELL compaction (one compaction at 1/spc the sample count).
@@ -1584,9 +1583,12 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     cell_h = (cidx_h % P).astype(jnp.float32)
     g_h = jnp.take(geom, ray_h, axis=0, indices_are_sorted=True)
     hx, hy, hz = lane_positions(g_h, cell_h)
-    pre_h = jnp.concatenate(
-        [jnp.take(pre_s[l], hsafe, indices_are_sorted=True)
-         for l in range(spc)])
+    # ONE [cap_h, spc] row-gather instead of spc scalar takes: narrow
+    # (lane-padded) gathers run 2-4.7× slower PER ROW than row gathers
+    # (docs/PERF_NOTES.md round-1 table), and the row form issues ¼ the
+    # rows. Bitwise-identical values (same elements, gathered row-wise).
+    pre_h = jnp.take(pre_s.T, hsafe, axis=0,
+                     indices_are_sorted=True).T.reshape(-1)
     hf_h = m.height_fraction(jnp.sqrt(hx * hx + hy * hy + hz * hz),
                              SKY_B_RADIUS, SKY_T_RADIUS)
     if debug_stage == 6:  # + hot sub-compaction
@@ -1614,22 +1616,20 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     if debug_stage == 8:  # + cone stream
         return _dbg(t_h, cd_h)
 
-    # ---- Scatter t / cd / hf to [n, steps] planes from the HOT list only
-    # (dead and unoccupied samples are 0 in all three planes — radiance ∝ t
-    # and 1 − dt = 0, so fill 0 is exact). Per-LANE 1-D scatters: each
-    # lane's plane indices are strictly ascending (cidx_h is), fill rows go
-    # out of bounds and are dropped, so sorted+unique hold honestly.
-    base_h = jnp.where(valid_h, ray_h * steps
-                       + (cidx_h % P) * spc, total)
+    # ---- Scatter t / cd to [n, steps] planes from the HOT list only
+    # (dead and unoccupied samples are 0 in both planes — radiance ∝ t
+    # and 1 − dt = 0, so fill 0 is exact). ONE row scatter per plane
+    # ([cap_h, spc] rows into an [n·P, spc] buffer) instead of spc scalar
+    # scatters: ¼ the scatter rows, and [n·P, spc] reshapes to [n, steps]
+    # for free (row r = cell cidx_h, lane l = fine step (cidx_h%P)·spc+l).
+    # cidx_h is strictly ascending on valid entries; fills (= total_cells)
+    # go out of bounds and are dropped, so sorted+unique hold honestly.
 
     def scatter_plane(vals):
-        vals = vals.reshape(spc, cap_h)
-        buf = jnp.zeros((total,), jnp.float32)
-        for l in range(spc):
-            buf = buf.at[base_h + l].set(
-                vals[l], mode="drop", indices_are_sorted=True,
-                unique_indices=True,
-            )
+        rows = vals.reshape(spc, cap_h).T  # [cap_h, spc]
+        buf = jnp.zeros((total_cells, spc), jnp.float32).at[cidx_h].set(
+            rows, mode="drop", indices_are_sorted=True, unique_indices=True,
+        )
         return buf.reshape(n, steps)
 
     t = scatter_plane(t_h)
