@@ -1618,18 +1618,25 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
 
     # ---- Scatter t / cd to [n, steps] planes from the HOT list only
     # (dead and unoccupied samples are 0 in both planes — radiance ∝ t
-    # and 1 − dt = 0, so fill 0 is exact). ONE row scatter per plane
-    # ([cap_h, spc] rows into an [n·P, spc] buffer) instead of spc scalar
-    # scatters: ¼ the scatter rows, and [n·P, spc] reshapes to [n, steps]
-    # for free (row r = cell cidx_h, lane l = fine step (cidx_h%P)·spc+l).
-    # cidx_h is strictly ascending on valid entries; fills (= total_cells)
-    # go out of bounds and are dropped, so sorted+unique hold honestly.
+    # and 1 − dt = 0, so fill 0 is exact). Per-LANE 1-D scatters into the
+    # flat [n·steps] plane: a [cap_h, spc=4] row scatter into an
+    # [n·P, spc]-minor buffer pads 4 lanes to the 128-lane vreg tile —
+    # measured +362 ms/frame at the headline scale (round-4 phase
+    # isolation; the round-2 "always scatter 1-D" rule, re-learned on the
+    # write side). Each lane's plane indices are strictly ascending
+    # (cidx_h is); fill rows go out of bounds and are dropped, so
+    # sorted+unique hold honestly.
+    total = n * steps
+    base_h = jnp.where(valid_h, ray_h * steps + (cidx_h % P) * spc, total)
 
     def scatter_plane(vals):
-        rows = vals.reshape(spc, cap_h).T  # [cap_h, spc]
-        buf = jnp.zeros((total_cells, spc), jnp.float32).at[cidx_h].set(
-            rows, mode="drop", indices_are_sorted=True, unique_indices=True,
-        )
+        vals = vals.reshape(spc, cap_h)
+        buf = jnp.zeros((total,), jnp.float32)
+        for l in range(spc):
+            buf = buf.at[base_h + l].set(
+                vals[l], mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
         return buf.reshape(n, steps)
 
     t = scatter_plane(t_h)
