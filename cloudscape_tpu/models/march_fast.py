@@ -949,6 +949,11 @@ def _cull_prepass(above, ndir, ss, p0, params: MarchParams, bp: BrickPack,
         * float(steps // prepass_steps)
     cells = cell_margin is not None
 
+    # FUSED weather+pre body, deliberately: splitting into two lax.map
+    # passes (the single-gather-stream rule) measured 143.6 vs 126.5 ms at
+    # the headline scale (round 4) — the prepass is filter-heavy enough
+    # (bilinear weather + trilinear base noise) that the filter hides
+    # behind the interleaved gathers, exactly the round-2 caveat's regime.
     def prepass_chunk(args):
         p0c, ndirc, ssc = args
         tt = ssc[:, None] * i_pre[None, :]
@@ -1401,6 +1406,79 @@ def _accumulate_phase3(t, cd, hf, ss, phase, above, params: MarchParams,
     )).reshape(-1, 4)[:n]
 
 
+def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
+                          spc: int, params: MarchParams, atmos, lss):
+    """Hot-list accumulation (v3 `accum="segmented"`): the per-ray
+    transmittance prefix and radiance sum computed directly on the
+    [spc·cap_h] hot sample list — no [n, steps] plane scatters, no dense
+    hf recompute, no dense-plane accumulation sweep (the plane path's
+    stage-9+0 cost is hot-capacity-independent; this one scales with the
+    hot list).
+
+    Mathematically identical to `_accumulate_phase3` over scattered
+    planes: dead samples have t = 0 → dt = 1 and zero radiance, so
+    skipping them changes nothing, and the step prefix product
+    Π exp(A_j) becomes exp(Σ A_j) with A = −density·t·ss (already
+    computed — no log). The cross-cell prefix is a SEGMENTED scan
+    (`lax.associative_scan` over a (value, segment-start) monoid): a
+    global cumsum-minus-segment-base would subtract two large f32
+    partials (sum over ~2M cells) to recover a ~1-magnitude per-ray
+    value — catastrophic cancellation — while the segmented monoid keeps
+    all arithmetic ray-local. Tolerance-equal to the plane path
+    (reduction-order noise), same ≥40 dB referee
+    (tests/test_march_v3.py)."""
+    atmosphere_sun, atmosphere_ambient, atmosphere_ground = atmos
+    cap_h = valid_h.shape[0]
+    t_l = jnp.where(valid_h[None, :], t_h.reshape(spc, cap_h), 0.0)
+    cd_l = cd_h.reshape(spc, cap_h)
+    hf_l = hf_h.reshape(spc, cap_h)
+    ss_h = g_h[:, 6]
+    phase_h = g_h[:, 7]
+
+    A_l = (-params.density) * t_l * ss_h[None, :]  # log dt per lane, ≤ 0
+    # In-cell exclusive prefix (spc is tiny — a couple of vector adds).
+    excl = jnp.concatenate(
+        [jnp.zeros((1, cap_h), jnp.float32), jnp.cumsum(A_l[:-1], axis=0)],
+        axis=0)
+    cell_logdt = excl[-1] + A_l[-1]  # [cap_h] per-cell total
+
+    # Segmented EXCLUSIVE prefix over each ray's (ascending) hot cells.
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), ray_h[1:] != ray_h[:-1]])
+
+    def seg_sum(a, b):
+        return jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1]
+
+    incl, _ = jax.lax.associative_scan(seg_sum, (cell_logdt, head))
+    ray_excl = incl - cell_logdt
+
+    dt_l = jnp.exp(A_l)
+    t_prefix = jnp.exp(ray_excl[None, :] + excl)
+    beers = jnp.exp((-params.density * lss * 3.0) * cd_l)
+    powder = 1.0 - jnp.exp((-params.density * lss * 6.0) * cd_l)
+    beers_total = jnp.where(t_l > 0.0, 2.0 * beers * powder, 0.0)
+    sm = m.smoothstep(0.0, 1.0, hf_l)
+    bt_phase = beers_total * phase_h[None, :]
+    # Same soft zero-gate as `_accumulate_phase3`'s accum_chunk.
+    shared = t_prefix * (1.0 - dt_l) * (t_l / jnp.maximum(1e-7, t_l))
+
+    # Per-ray reductions: one sorted 1-D scatter-add per channel (+ one
+    # for log-transmittance); fills route out of bounds and drop.
+    ridx = jnp.where(valid_h, ray_h, n)
+    bufs = []
+    for c in range(3):
+        ambient_c = atmosphere_ground[c] + \
+            (atmosphere_ambient[c] - atmosphere_ground[c]) * sm
+        cellsum = jnp.sum(
+            shared * (ambient_c + bt_phase * atmosphere_sun[c]), axis=0)
+        bufs.append(jnp.zeros((n,), jnp.float32).at[ridx].add(
+            cellsum, mode="drop", indices_are_sorted=True))
+    logT = jnp.zeros((n,), jnp.float32).at[ridx].add(
+        cell_logdt, mode="drop", indices_are_sorted=True)
+    alpha = jnp.clip(1.0 - jnp.exp(logT), 0.0, 1.0)
+    return jnp.stack(bufs + [alpha], axis=-1)
+
+
 def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
                  bp: BrickPack, atmos, steps: int, chunk: int,
                  cell_keep_frac: float, cone_cache: "ConeCache",
@@ -1408,7 +1486,7 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
                  ray_stride: int = 1, cell_margin: float = 0.1,
                  hot_keep_frac: float = 0.5, debug_stage: int = 0,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None, accum: str = "planes"):
     """Window-staged march core (the v3 headline variant — VERDICT r2 #1).
 
     `_march_core2` still marches ALL `steps` samples of every kept ray
@@ -1522,9 +1600,11 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     # samples expand as LANE-MAJOR flat planes — lane l's block is a
     # [cap_c] slice, so no [cap_c, spc] minor-dim array (which would pad
     # its spc lanes to the 128-lane vreg tile) is ever materialized.
+    # phase rides in lane 7 (was a pad) so the segmented accumulator gets
+    # it per hot cell for free with the same row gather.
     geom = jnp.concatenate(
-        [p0, ndir, ss[:, None], jnp.zeros_like(ss[:, None])], axis=1
-    )  # [n, 8] (p0 xyz, ndir xyz, ss, pad)
+        [p0, ndir, ss[:, None], phase[:, None]], axis=1
+    )  # [n, 8] (p0 xyz, ndir xyz, ss, phase)
     g = jnp.take(geom, ray_i, axis=0, indices_are_sorted=True)
 
     def lane_positions(gg, ck):
@@ -1615,6 +1695,18 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     cd_h = jax.lax.map(cone_chunk, hxc + (t_h,))
     if debug_stage == 8:  # + cone stream
         return _dbg(t_h, cd_h)
+
+    if accum == "segmented":
+        out = _accumulate_segmented(t_h.reshape(-1), cd_h.reshape(-1),
+                                    hf_h, g_h, ray_h, valid_h, n, spc,
+                                    params, atmos, lss)
+        if debug_stage == 9:  # accumulation complete, pre scatter-back
+            return _dbg(out)
+        if cull:
+            out = jnp.zeros((n_out, 4), jnp.float32).at[ridx].set(
+                out, mode="drop", indices_are_sorted=True,
+                unique_indices=True)
+        return out
 
     # ---- Scatter t / cd to [n, steps] planes from the HOT list only
     # (dead and unoccupied samples are 0 in both planes — radiance ∝ t
@@ -1952,7 +2044,7 @@ def v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
                                    "ray_keep_frac", "prepass_steps",
                                    "ray_stride", "cell_margin",
                                    "hot_keep_frac", "debug_stage",
-                                   "axis_name"))
+                                   "axis_name", "accum"))
 def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     steps: int = 128, light_steps: int = 6,
                     chunk: int = 32768, cell_keep_frac: float = 0.5,
@@ -1961,7 +2053,8 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     ray_keep_frac: float | None = None,
                     prepass_steps: int = 32, ray_stride: int = 1,
                     cell_margin: float = 0.1, hot_keep_frac: float = 0.5,
-                    debug_stage: int = 0, axis_name: str | None = None):
+                    debug_stage: int = 0, axis_name: str | None = None,
+                    accum: str = "planes"):
     """Window-staged fast march (the v3 headline path): `_march_core3` over
     world directions — v2's staged machinery with the dense phase replaced
     by coarse-cell-gated sample compaction from the shared cull prepass.
@@ -1992,7 +2085,8 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                        steps, min(chunk, max(n, 1)), cell_keep_frac,
                        cone_cache, ray_keep_frac, prepass_steps,
                        shape if len(shape) == 2 else None, ray_stride,
-                       cell_margin, hot_keep_frac, debug_stage, axis_name)
+                       cell_margin, hot_keep_frac, debug_stage, axis_name,
+                       accum)
     return out.reshape(shape + (4,))
 
 
