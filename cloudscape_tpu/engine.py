@@ -155,6 +155,7 @@ class _PendingCycle:
     cull_done: int = 0
     prio: Any = None                  # tile-cull priority map (if tile_cull)
     tile_keep: Any = None             # device tile-keep fractions (pre-read)
+    tile_cell: Any = None             # device tile live-cell fractions
     buckets: Optional[List[float]] = None
     fresh: bool = True                # created this tick — skip one advance
 
@@ -238,39 +239,64 @@ def _update_tile(ring, tex_idx, x0, y0, params: MarchParams, noise, sky_img,
     return jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
 
 
-# Tile-scale crossover for the "fast3" kernel: below this many rays the
-# cull/compaction machinery (prepass + 3 compactions + scatters) costs more
-# than the dense gather rows it removes, so tiles march DENSE (no machinery
-# at all — the reference's own per-frame operating point is one 96² tile,
-# `cloud_sky/cloud_sky.gd:83,111`); at/above it the tile takes the staged v2
-# path. Measured on v5e (bench/probe_tile_kernels.py, docs/PERF_NOTES.md
-# round 4).
+# fast3 tile-dispatch policy thresholds. V3_TILE_MIN_RAYS bounds the
+# bucket-less fallbacks only (dense below, staged v2 above): with a
+# per-tile CELL bucket available (tile_cull on), the v3 cell-gated march
+# wins at EVERY measured scale — 96²: 15.0 ms v3 vs 36.9 dense vs 24.5
+# v2-cull; 192²: 47.8 vs 192.1; 384²: 202.8 vs 541.0
+# (bench/probe_tile_kernels.py, v5e, docs/PERF_NOTES.md round 4) — so
+# bucketed tiles always take v3. Buckets ≥ ~0.9 fall back to dense (a
+# nearly-all-live tile leaves the cell gate nothing to remove).
 V3_TILE_MIN_RAYS = 65536
+# Per-tile CELL capacity tiers for the fast3 arm (static jit args —
+# coarse on purpose: each distinct bucket is one warmed executable).
+V3_TILE_CELL_BUCKETS = (0.25, 0.375, 0.5, 0.65, 0.8)
 
 
 def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
                 light_steps: int, kernel: str, capacity_frac: float = 0.5,
-                ray_keep_frac: float | None = None, cull_prio=None):
+                ray_keep_frac: float | None = None, cull_prio=None,
+                axis_name: str | None = None):
     """Shared tile march body: kernel selects the scan-based reference march
     ("reference", takes a NoisePack), the exact brick-table march ("fast",
     takes a BrickPack), the row-lean staged march ("fast2", takes a
     (BrickPack, ConeCache) tuple — cone cache rebuilt per cycle), or the
-    tile-scale-adaptive production kernel ("fast3", same tuple: DENSE
-    machinery-free march below V3_TILE_MIN_RAYS, the staged v2 march above;
+    scale-adaptive production kernel ("fast3", same tuple — see below;
     monolithic fast3 renders go through the measured-policy v3 headline
     kernel in `CloudSkyEngine.render_full_hemisphere`).
-    ray_keep_frac + cull_prio (fast2 only) enable per-tile ray culling from
-    a precomputed priority window; the fast3 dense arm ignores them (its
-    tile culling is the engine's 0.0-bucket whole-tile skip)."""
+
+    ray_keep_frac + cull_prio (fast2) enable per-tile ray culling from a
+    precomputed priority window. For fast3 the SAME per-tile static rides a
+    different meaning: it is the tile's live-CELL capacity bucket (measured
+    per cycle from the cull prepass's dilated occupancy,
+    `cull_finalize`/`cull_priority_map` tile_cell), dispatching the v3
+    cell-gated march with that capacity — the measured-fastest kernel at
+    every tile scale. Without a bucket (tile_cull off / batch sweeps),
+    fast3 falls back to the dense machinery-free arm below
+    V3_TILE_MIN_RAYS and staged v2 above. axis_name (inside shard_map):
+    forwarded to the v3 prepass so its dilation halo-exchanges across the
+    mesh rows."""
     if kernel == "fast3":
         import numpy as _np
 
         from cloudscape_tpu.models.march_fast import (
-            march_bricks_v2, march_tile_dense,
+            march_bricks_v2, march_bricks_v3, march_tile_dense,
         )
 
         bricks, cone_cache = noise
         n = int(_np.prod(dirs.shape[:-1]))
+        if (ray_keep_frac is not None and 0.0 < ray_keep_frac < 1.0
+                and n < V3_TILE_MIN_RAYS and len(dirs.shape) == 3):
+            ps = max(1, steps // 4)
+            while steps % ps:
+                ps -= 1
+            return march_bricks_v3(
+                dirs, params, bricks, sky_img, steps=steps,
+                light_steps=light_steps, chunk=min(n, 16384),
+                cell_keep_frac=float(ray_keep_frac), hot_keep_frac=0.5,
+                cone_cache=cone_cache, ray_keep_frac=None,
+                prepass_steps=ps, ray_stride=2, cell_margin=0.1,
+                axis_name=axis_name)
         if n < V3_TILE_MIN_RAYS:
             return march_tile_dense(dirs, params, bricks, sky_img,
                                     steps=steps, light_steps=light_steps,
@@ -349,7 +375,8 @@ def _update_tile_mesh(ring, tex_idx, x0, y0, params: MarchParams, noise,
         return _march_tile(d, p, n, s, region=max(d.shape[0], 1),
                            steps=steps, light_steps=light_steps,
                            kernel=kernel, capacity_frac=capacity_frac,
-                           ray_keep_frac=ray_keep_frac, cull_prio=cp)
+                           ray_keep_frac=ray_keep_frac, cull_prio=cp,
+                           axis_name=axis_name)
 
     if cull_prio is None:
         tile = jax.shard_map(
@@ -808,6 +835,15 @@ class CloudSkyEngine:
             ps -= 1
         region = self.perf.update_region_size
         stride = 2 if self.perf.texture_size % 2 == 0 else 1
+        if self.kernel == "fast3":
+            prio, tile_keep, tile_cell = cull_priority_map(
+                texel_directions(self.perf.texture_size), params,
+                self._bricks, steps=steps, prepass_steps=ps,
+                ray_stride=stride, region=region, cell_margin=0.1,
+            )
+            keep = np.asarray(tile_keep).reshape(-1)
+            cell = np.asarray(tile_cell).reshape(-1)
+            return prio, self._buckets_from_keep(keep, cell)
         prio, tile_keep = cull_priority_map(
             texel_directions(self.perf.texture_size), params,
             self._bricks, steps=steps, prepass_steps=ps,
@@ -816,18 +852,32 @@ class CloudSkyEngine:
         keep = np.asarray(tile_keep).reshape(-1)  # row-major tile order
         return prio, self._buckets_from_keep(keep)
 
-    def _buckets_from_keep(self, keep):
-        """Quantize per-tile keep fractions into the warmed capacity
-        buckets, 1.1 margin (shared by the synchronous and amortized cull
-        paths). fast3's dense tile arm has no per-ray cull — its tile
-        culling is binary (a provably-empty tile skips the march entirely,
-        everything else marches dense), so only {0.0, 1.0} are used and
-        only two executables are warmed."""
-        tiers = ((0.0, 1.0) if self.kernel == "fast3"
-                 else self._TILE_BUCKETS)
+    def _buckets_from_keep(self, keep, cell=None):
+        """Quantize per-tile fractions into the warmed capacity buckets
+        (shared by the synchronous and amortized cull paths).
+
+        fast2 ("fast"-family staged): RAY-keep buckets, 1.1 margin.
+        fast3: the bucket is the tile's live-CELL capacity for the v3
+        cell-gated arm (V3_TILE_CELL_BUCKETS, 1.12 margin — matching
+        `select_cell_keep_frac`'s; overflow soft-drops far cells): 0.0 for
+        a provably-empty tile (whole-tile skip), 1.0 (≳0.9 live → dense
+        arm, nothing for the cell gate to remove) otherwise."""
+        if self.kernel == "fast3":
+            buckets = []
+            for k, c in zip(keep, cell):
+                if k * 1.1 <= 0.0:
+                    buckets.append(0.0)
+                    continue
+                for b in V3_TILE_CELL_BUCKETS:
+                    if c * 1.12 <= b:
+                        buckets.append(b)
+                        break
+                else:
+                    buckets.append(1.0)
+            return buckets
         buckets = []
         for k in keep:
-            for b in tiers:
+            for b in self._TILE_BUCKETS:
                 if k * 1.1 <= b:
                     buckets.append(b)
                     break
@@ -892,7 +942,8 @@ class CloudSkyEngine:
         elif self.tile_cull and pend.buckets is None:
             if pend.prio is None and pend.cull_done < self._n_cull:
                 if pend.raw is None:
-                    pend.raw = jnp.zeros((self._n_sub,), jnp.float32)
+                    pend.raw = jnp.zeros((self._n_sub, self._cull_ps),
+                                         jnp.float32)
                 i0 = min(pend.cull_done * self._cull_slice,
                          max(self._n_sub - self._cull_slice, 0))
                 pend.raw = _cull_raw_jit(
@@ -901,14 +952,17 @@ class CloudSkyEngine:
                   pend.march_params, self._bricks)
                 pend.cull_done += 1
             elif pend.prio is None:
-                pend.prio, pend.tile_keep = _cull_finalize_jit(
-                    self.perf.update_region_size, self._cull_stride
-                )(pend.raw, texel_directions(self.perf.texture_size))
+                pend.prio, pend.tile_keep, pend.tile_cell = \
+                    _cull_finalize_jit(
+                        self.perf.update_region_size, self._cull_stride
+                    )(pend.raw, texel_directions(self.perf.texture_size))
                 pend.raw = None
             else:
                 keep = np.asarray(pend.tile_keep).reshape(-1)
+                cell = np.asarray(pend.tile_cell).reshape(-1)
                 pend.tile_keep = None
-                pend.buckets = self._buckets_from_keep(keep)
+                pend.tile_cell = None
+                pend.buckets = self._buckets_from_keep(keep, cell)
 
     def _warm_tile_cull_variants(self) -> None:
         """Compile every culled tile-update executable this cycle can

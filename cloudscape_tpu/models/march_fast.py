@@ -726,13 +726,16 @@ def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
                    count: int, steps: int = 128, prepass_steps: int = 32,
                    chunk: int = 32768):
     """One slice of the amortized tile-cull prepass (the engine's pending
-    pipeline): RAW per-ray priority — max unclamped pre over the coarse
-    probe samples, −inf below horizon — for subsampled rays
-    [i0, i0 + count), scattered into `buf` [n_sub] (donated by the engine's
-    jit wrapper). `cull_finalize` applies the neighbor dilation/upsample and
-    tile reduction. i0 is traced (one executable serves every slice); the
-    per-ray values match `cull_priority_map`'s internal prepass to float
-    precision (per-ray math is identical; executable shapes differ)."""
+    pipeline): RAW per-(ray, coarse-cell) unclamped pre at the coarse probe
+    samples (−inf rows below horizon) for subsampled rays [i0, i0 + count),
+    scattered into `buf` [n_sub, prepass_steps] (donated by the engine's
+    jit wrapper). `cull_finalize` reduces to the per-ray priority (max over
+    cells — bitwise the former per-ray raw), applies the neighbor
+    dilation/upsample and tile reductions, and derives the per-tile CELL
+    fractions that size fast3's per-tile capacities. i0 is traced (one
+    executable serves every slice); the per-ray values match
+    `cull_priority_map`'s internal prepass to float precision (per-ray math
+    is identical; executable shapes differ)."""
     d = jax.lax.dynamic_slice(dirs_sub, (i0, 0), (count, 3))
     above, ndir, ss, p0, _, _ = _ray_setup(d, params, steps)
     i_pre = (jnp.arange(prepass_steps, dtype=jnp.float32) + 1.0) \
@@ -746,7 +749,7 @@ def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
         pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
         w = _weather_rb_xy(bp, px, pz, params.weather_pos)
         pre_p, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
-        return jnp.max(pre_p, axis=1)
+        return pre_p
 
     up0 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     c = min(chunk, count)
@@ -754,22 +757,26 @@ def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
         _pad_blocks(p0, c, up0 * GROUND_RADIUS),
         _pad_blocks(ndir, c, up0),
         _pad_blocks(ss, c, jnp.float32(1.0)),
-    )).reshape(-1)[:count]
-    raw = jnp.where(above, raw, jnp.float32(-jnp.inf))
-    return jax.lax.dynamic_update_slice(buf, raw, (i0,))
+    )).reshape(-1, prepass_steps)[:count]
+    raw = jnp.where(above[:, None], raw, jnp.float32(-jnp.inf))
+    return jax.lax.dynamic_update_slice(buf, raw, (i0, 0))
 
 
 def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
-                  prepass_margin: float = 0.02):
-    """Final step of the amortized tile-cull prepass: neighbor-bonus
-    dilation + nearest upsample of the raw subsampled priority, horizon
-    mask, and the per-tile keep fractions — `cull_priority_map`'s tail on a
-    raw buffer accumulated by `cull_raw_slice`. Returns (prio [H, W],
-    tile_keep [H/region, W/region])."""
+                  prepass_margin: float = 0.02, cell_margin: float = 0.1):
+    """Final step of the amortized tile-cull prepass: per-ray priority (max
+    over the stored per-cell pre — bitwise the former per-ray raw),
+    neighbor-bonus dilation + nearest upsample, horizon mask, the per-tile
+    keep fractions, and the per-tile live-CELL fractions (`_cull_prepass`'s
+    dilated `pre > -cell_margin` occupancy, tile-averaged — sizes fast3's
+    per-tile cell capacities) — `cull_priority_map`'s tail on a raw buffer
+    accumulated by `cull_raw_slice`. Returns (prio [H, W], tile_keep
+    [H/region, W/region], tile_cell [H/region, W/region])."""
     H, W = dirs.shape[:2]
     hs, ws = H // ray_stride, W // ray_stride
+    P = raw.shape[-1]
     above = (dirs[..., 1] > 0.0).reshape(-1)
-    r2 = raw.reshape(hs, ws)
+    r2 = jnp.max(raw, axis=1).reshape(hs, ws)
     d2 = jnp.maximum(r2, _dilate_max(r2) - 0.1)
     prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
                       axis=1).reshape(-1)
@@ -777,7 +784,19 @@ def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
     keep = (prio > -prepass_margin).astype(jnp.float32)
     tile_keep = keep.reshape(H // region, region, W // region, region) \
         .mean(axis=(1, 3))
-    return prio, tile_keep
+    # Dilated cell occupancy, mirroring `_cull_prepass` (3×3 across rays,
+    # ±1 along the ray), above-masked (below-horizon cells are never live).
+    o = (raw > -cell_margin).reshape(hs, ws, P)
+    o = o | jnp.roll(o, 1, 0) | jnp.roll(o, -1, 0)
+    o = o | jnp.roll(o, 1, 1) | jnp.roll(o, -1, 1)
+    o = o.reshape(hs * ws, P)
+    pad0 = jnp.zeros_like(o[:, :1])
+    o = o | jnp.concatenate([pad0, o[:, :-1]], axis=1) \
+        | jnp.concatenate([o[:, 1:], pad0], axis=1)
+    above_sub = above.reshape(H, W)[::ray_stride, ::ray_stride].reshape(-1)
+    tile_cell = _tile_cell_fracs(o & above_sub[:, None],
+                                 hs, ws, ray_stride, region)
+    return prio, tile_keep, tile_cell
 
 
 def _march_core(above, ndir, ss, p0, phase, ldir, params: MarchParams,
@@ -1486,7 +1505,7 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
                  prepass_steps: int = 32, cull_shape: tuple | None = None,
                  ray_stride: int = 1, cell_margin: float = 0.1,
                  hot_keep_frac: float = 0.5, debug_stage: int = 0,
-                 axis_name: str | None = None, accum: str = "planes"):
+                 axis_name: str | None = None, accum: str = "segmented"):
     """Window-staged march core (the v3 headline variant — VERDICT r2 #1).
 
     `_march_core2` still marches ALL `steps` samples of every kept ray
@@ -1824,34 +1843,67 @@ def ray_keep_fraction(dirs, params: MarchParams, bp: BrickPack,
     return jnp.mean((prio > -prepass_margin).astype(jnp.float32))
 
 
+def _tile_cell_fracs(occ_cells, gh: int, gw: int, stride: int, region: int):
+    """Per-tile live-(coarse-ray, coarse-cell) fraction from a dilated
+    occupancy grid (`_cull_prepass` semantics): the quantity that sizes a
+    per-tile `march_bricks_v3` cell capacity. occ_cells rows are the
+    stride-subsampled [gh, gw] grid; a region² tile covers region/stride
+    coarse rows/cols."""
+    P = occ_cells.shape[-1]
+    r = max(region // stride, 1)
+    o = occ_cells.reshape(gh, gw, P).astype(jnp.float32)
+    return o.reshape(gh // r, r, gw // r, r, P).mean(axis=(1, 3, 4))
+
+
 @partial(jax.jit, static_argnames=("steps", "prepass_steps", "chunk",
-                                   "ray_stride", "region", "prepass_margin"))
+                                   "ray_stride", "region", "prepass_margin",
+                                   "cell_margin"))
 def cull_priority_map(dirs, params: MarchParams, bp: BrickPack,
                       steps: int = 128, prepass_steps: int = 32,
                       chunk: int = 32768, ray_stride: int = 2,
                       region: int | None = None,
-                      prepass_margin: float = 0.02):
+                      prepass_margin: float = 0.02,
+                      cell_margin: float | None = None):
     """Full-grid cull priority map for PRECOMPUTED per-tile culling (the
     engine's per-cycle path: parameters are frozen per cycle, so one map
     serves every tile of the cycle via `march_bricks_v2(cull_prio=...)`).
 
     dirs: [H, W, 3]. Returns (prio [H, W] f32, tile_keep [H//region,
     W//region] f32 — fraction of each region² tile above the margin;
-    tile_keep is None when region is None)."""
+    tile_keep is None when region is None). With cell_margin set, returns
+    a third element: per-tile live-CELL fractions (the `_cull_prepass`
+    dilated occupancy, tile-averaged) — the engine's fast3 per-tile
+    cell-capacity sizing."""
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = dirs.shape[:-1]
     flat = dirs.reshape(-1, 3)
     above, ndir, ss, p0, _, _ = _ray_setup(flat, params, steps)
-    prio = _cull_priority(above, ndir, ss, p0, params, bp, steps,
-                          prepass_steps, min(chunk, max(flat.shape[0], 1)),
-                          shape, ray_stride).reshape(shape)
+    if cell_margin is not None:
+        prio, occ_cells, meta = _cull_prepass(
+            above, ndir, ss, p0, params, bp, steps, prepass_steps,
+            min(chunk, max(flat.shape[0], 1)), shape, ray_stride,
+            cell_margin)
+        prio = prio.reshape(shape)
+    else:
+        prio = _cull_priority(
+            above, ndir, ss, p0, params, bp, steps, prepass_steps,
+            min(chunk, max(flat.shape[0], 1)), shape,
+            ray_stride).reshape(shape)
     if region is None:
-        return prio, None
+        return (prio, None) if cell_margin is None else (prio, None, None)
     H, W = shape
     keep = (prio > -prepass_margin).astype(jnp.float32)
     tile_keep = keep.reshape(H // region, region, W // region, region) \
         .mean(axis=(1, 3))
-    return prio, tile_keep
+    if cell_margin is None:
+        return prio, tile_keep
+    gh, gw, stride = meta if meta is not None else (H, W, 1)
+    # Below-horizon rays are never live in the march (`live = occ & above`)
+    # — mask them so horizon tiles get honestly small buckets.
+    above_sub = above.reshape(H, W)[::stride, ::stride].reshape(-1)
+    tile_cell = _tile_cell_fracs(occ_cells & above_sub[:, None],
+                                 gh, gw, stride, region)
+    return prio, tile_keep, tile_cell
 
 
 RAY_KEEP_BUCKETS = (0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7,
@@ -2054,7 +2106,7 @@ def march_bricks_v3(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
                     prepass_steps: int = 32, ray_stride: int = 1,
                     cell_margin: float = 0.1, hot_keep_frac: float = 0.5,
                     debug_stage: int = 0, axis_name: str | None = None,
-                    accum: str = "planes"):
+                    accum: str = "segmented"):
     """Window-staged fast march (the v3 headline path): `_march_core3` over
     world directions — v2's staged machinery with the dense phase replaced
     by coarse-cell-gated sample compaction from the shared cull prepass.

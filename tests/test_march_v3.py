@@ -109,6 +109,26 @@ def test_v3_gates_off_matches_v2(setup):
     assert p > 60.0, f"gates-off v3 vs v2 only {p:.1f} dB"
 
 
+def test_v3_segmented_accum_matches_planes(setup):
+    """accum="segmented" (hot-list exp∘segmented-cumsum prefix + per-ray
+    scatter-add reductions) vs accum="planes" (scatter to [n, steps]
+    planes + dense accumulation): mathematically identical — dead samples
+    contribute dt = 1 and zero radiance — so the outputs must agree to
+    reduction-order noise."""
+    bp, slut, params, dirs, _, cc = setup
+    kw = dict(steps=64, chunk=1024, cell_keep_frac=0.5, hot_keep_frac=0.5,
+              cone_cache=cc, ray_keep_frac=0.55, prepass_steps=16,
+              ray_stride=2, cell_margin=0.1)
+    planes = np.asarray(
+        march_bricks_v3(dirs, params, bp, slut, accum="planes", **kw))
+    seg = np.asarray(
+        march_bricks_v3(dirs, params, bp, slut, accum="segmented", **kw))
+    assert np.isfinite(seg).all()
+    assert np.abs(seg - planes).max() < 1e-3
+    p = psnr(seg, planes)
+    assert p > 80.0, f"segmented vs planes only {p:.1f} dB"
+
+
 def test_v3_policy_matches_exact(setup):
     """The shipped configuration: auto-policy buckets, ray cull + cell gate
     + hot sub-gate, ≥ 40 dB vs the exact fixed-step march."""

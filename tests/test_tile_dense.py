@@ -154,10 +154,13 @@ def test_engine_fast3_monolithic_is_v3(setup):
     assert p > 35.0, f"fast3 monolithic (v3) {p:.1f} dB vs ungated staged"
 
 
-def test_engine_fast3_tile_cull_binary_buckets(setup):
-    """fast3 + tile_cull: the dense tile arm has no per-ray cull, so tile
-    buckets quantize to {0.0, 1.0} (whole-tile skip or dense march) and at
-    most two executables are warmed."""
+def test_engine_fast3_tile_cull_cell_buckets(setup):
+    """fast3 + tile_cull: per-tile buckets are live-CELL capacity tiers for
+    the v3 tile arm (0.0 = whole-tile skip, 1.0 = dense arm, otherwise a
+    V3_TILE_CELL_BUCKETS member — round-4 measurement: v3 beats the dense
+    arm at every tile scale, so bucketed tiles dispatch v3)."""
+    from cloudscape_tpu.engine import V3_TILE_CELL_BUCKETS
+
     noise, _, _, _, _, sun = setup
     eng = CloudSkyEngine(
         perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=4,
@@ -173,5 +176,39 @@ def test_engine_fast3_tile_cull_binary_buckets(setup):
     for k in range(3):
         eng.update_sky(now=0.1 * k)
     assert eng._tile_buckets is not None
-    assert set(eng._tile_buckets) <= {0.0, 1.0}
+    allowed = {0.0, 1.0} | set(V3_TILE_CELL_BUCKETS)
+    assert set(eng._tile_buckets) <= allowed
     assert np.isfinite(np.asarray(eng.cloud_ring)).all()
+
+
+@pytest.mark.slow
+def test_engine_fast3_tile_cull_matches_plain(setup):
+    """fast3 + tile_cull (v3 cell-bucketed tiles) vs plain fast3 (dense
+    tiles): a full amortized cycle must stay ≥ 40 dB — the same gate the
+    fast2 cull path carries (tests/test_engine.py) applied to the v3 tile
+    arm."""
+    noise, _, _, _, _, sun = setup
+    kw = dict(
+        perf=PerfConfig(texture_size=64, frames_to_update=16, march_steps=16,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.45),
+        sun=SunState(direction=tuple(sun)),
+        noise=noise,
+        kernel="fast3",
+        cone_res=(8, 64, 64),
+    )
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw, tile_cull=True)
+    for _ in range(18):
+        a.update_sky(now=0.0)
+        b.update_sky(now=0.0)
+    assert b._tile_buckets is not None
+    assert any(0.0 < x < 1.0 for x in b._tile_buckets), \
+        "no tile actually took the v3 bucketed arm"
+    ra = np.asarray(a.cloud_ring)[a.ring.texture_to_blend_to]
+    rb = np.asarray(b.cloud_ring)[b.ring.texture_to_blend_to]
+    assert np.isfinite(rb).all()
+    mse = float(((ra - rb) ** 2).mean())
+    peak = max(float(np.abs(ra).max()), 1e-9)
+    p = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+    assert p > 40.0, f"fast3 tile-culled engine {p:.1f} dB vs plain"
