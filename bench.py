@@ -277,37 +277,61 @@ def _per_tile_metrics(rec: dict, sun, eye) -> None:
         "768px_64frames_128steps_fused_1280x720_tilecull"
     rec["tile_all_ms"] = [round(t, 1) for t in tile_times]
 
-    # ---- Device-only per-tile time (VERDICT r2 #4): K fused frame ticks
-    # inside ONE executable (lax.fori_loop over the row-major tile sweep)
-    # with a single 1-px readback, so the ~50-55 ms per-dispatch relay RTT
-    # amortizes to < 4 ms — loop_time/K is a tight upper bound on the true
-    # device cost of one serving frame (tile march + blend + rebrick +
-    # 1280×720 composite). Uses the uncull (bucket-1.0) variant: exactly the
-    # shipped path for uncullable tiles, an upper bound for culled ones.
+    # ---- Device-only per-tile time (VERDICT r2 #4): a FULL amortized
+    # cycle's frame ticks inside ONE executable — a lax.fori_loop over the
+    # row-major tile sweep whose body lax.switches over the cycle's actual
+    # per-tile bucket variants (0.0 skip / v3 cell buckets / dense 1.0 —
+    # the same executables the serving loop dispatches) — with a single
+    # 1-px readback, so the ~50-55 ms per-dispatch relay RTT amortizes
+    # below 1 ms. loop_time/n_tiles is the true MEAN device cost of one
+    # serving frame (tile march + blend + rebrick + 1280×720 composite)
+    # over a cycle, honoring the tile-cull distribution.
     from cloudscape_tpu.engine import _render_frame_fused
 
-    K = 16
     region = eng.perf.update_region_size
     tiles_per_row = eng.perf.texture_size // region
     n_tiles = tiles_per_row * tiles_per_row
+    buckets = list(eng._tile_buckets or [1.0] * n_tiles)
+    distinct = sorted(set(buckets))
+    bucket_idx = jnp.asarray([distinct.index(b) for b in buckets], jnp.int32)
+    rec["tile_bucket_hist"] = {str(b): buckets.count(b) for b in distinct}
+    K = n_tiles
+
+    def _variant(b):
+        def branch(op):
+            ring, sky_ring, x0, y0, params_, noise_arg, sky_slot, tlut_, \
+                eye_, blend, light, disk, prio = op
+            return _render_frame_fused(
+                ring, sky_ring, jnp.int32(0), x0, y0,
+                jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
+                params_, noise_arg, sky_slot, tlut_, eye_, blend, light,
+                disk, prio,
+                texture_size=eng.perf.texture_size, region=region,
+                steps=eng.perf.march_steps,
+                light_steps=eng.perf.light_steps,
+                kernel=eng.kernel, deband=False, capacity_frac=0.5,
+                ray_keep_frac=None if b >= 1.0 else b,
+                skip_march=(b == 0.0))
+
+        return branch
+
+    branches = [_variant(b) for b in distinct]
+    prio_arg = eng._prio_map if eng._prio_map is not None \
+        else jnp.zeros((eng.perf.texture_size, eng.perf.texture_size),
+                       jnp.float32)
 
     @jax.jit
     def _frames_looped(ring, sky_ring, start, params_, noise_arg, sky_slot,
-                       tlut_, eye_, blend, light, disk):
+                       tlut_, eye_, blend, light, disk, prio):
         def body(i, carry):
             ring, acc = carry
             tile = (start + i) % n_tiles
-            ring, fr = _render_frame_fused(
-                ring, sky_ring, jnp.int32(0),
-                (tile % tiles_per_row) * region,
-                (tile // tiles_per_row) * region,
-                jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
-                params_, noise_arg, sky_slot, tlut_, eye_, blend, light,
-                disk, None,
-                texture_size=eng.perf.texture_size, region=region,
-                steps=eng.perf.march_steps, light_steps=eng.perf.light_steps,
-                kernel=eng.kernel, deband=False, capacity_frac=0.5,
-                ray_keep_frac=None, skip_march=False)
+            x0 = (tile % tiles_per_row) * region
+            y0 = (tile // tiles_per_row) * region
+            ring, fr = jax.lax.switch(
+                bucket_idx[tile], branches,
+                (ring, sky_ring, x0, y0, params_, noise_arg, sky_slot,
+                 tlut_, eye_, blend, light, disk, prio))
             return ring, acc + fr[0, 0, 0]
 
         _, acc = jax.lax.fori_loop(0, K, body, (ring, jnp.float32(0.0)))
@@ -318,7 +342,7 @@ def _per_tile_metrics(rec: dict, sun, eye) -> None:
                  jnp.int32(eng.ring.cloud_kernel_sky_slot),
                  eng.transmittance, eye, jnp.float32(0.5),
                  jnp.asarray(eng.frame_data.light_direction, jnp.float32),
-                 jnp.float32(eng.config.sun_disk_scale))
+                 jnp.float32(eng.config.sun_disk_scale), prio_arg)
     try:
         np.asarray(_frames_looped(*loop_args))  # compile
         dev_total_ms, _ = _median_time(
