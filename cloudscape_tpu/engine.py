@@ -151,7 +151,7 @@ class _PendingCycle:
     asm_done: int = 0
     cone: Any = None                  # assembled ConeCache once complete
     sky: Any = None                   # prebaked sky-LUT image for the pickup
-    raw: Any = None                   # [n_sub] raw cull priority buffer
+    raw: Any = None                   # [n_sub, prepass_steps] raw cull buffer
     cull_done: int = 0
     prio: Any = None                  # tile-cull priority map (if tile_cull)
     tile_keep: Any = None             # device tile-keep fractions (pre-read)
@@ -286,7 +286,7 @@ def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
         bricks, cone_cache = noise
         n = int(_np.prod(dirs.shape[:-1]))
         if (ray_keep_frac is not None and 0.0 < ray_keep_frac < 1.0
-                and n < V3_TILE_MIN_RAYS and len(dirs.shape) == 3):
+                and len(dirs.shape) == 3):
             ps = max(1, steps // 4)
             while steps % ps:
                 ps -= 1
@@ -531,20 +531,23 @@ class CloudSkyEngine:
         sun: SunState = SunState(direction=(0.0, 0.5, -1.0)),
         noise: Optional[NoisePack] = None,
         now: float = 0.0,
-        kernel: str = "fast",
+        kernel: str = "fast3",
         mesh=None,
         cone_res=(32, 512, 512),
         tile_cull: bool = False,
         cone_prebake: Optional[bool] = None,
     ):
-        """kernel: "fast" (brick-table, occupancy-compacted march — exact,
-        the default), "fast2" (row-lean staged march + per-cycle cone-density
-        cache — ~40% faster per tile, ≥40 dB-gated vs "fast"), "fast3" (the
-        production/headline kernel: tiles below V3_TILE_MIN_RAYS march DENSE
-        with zero machinery, larger tiles take the staged v2 path, and
+        """kernel: "fast3" (the default — the production/headline kernel,
+        matching the reference's one-shipped-kernel stance
+        `cloud_sky.gd:234-248`: bucketed tiles take the v3 cell-gated march,
+        bucket-less tiles below V3_TILE_MIN_RAYS march DENSE with zero
+        machinery, larger bucket-less tiles take the staged v2 path, and
         monolithic renders go through the measured-policy v3 cell-gated
-        march — the same kernel bench.py times), or "reference" (scan-based
-        march, the numerics anchor; all gated against the f64 oracle).
+        march — the same kernel bench.py times), "fast2" (row-lean staged
+        march + per-cycle cone-density cache), "fast" (brick-table,
+        occupancy-compacted march — exact vs the scan anchor), or
+        "reference" (scan-based march, the numerics anchor; all gated
+        against the f64 oracle).
 
         cone_res: (hf, z, x) resolution of the fast2 cone cache, rebuilt at
         every cycle boundary ((32, 512, 512) holds 42 dB at the full bench
@@ -860,8 +863,9 @@ class CloudSkyEngine:
         fast3: the bucket is the tile's live-CELL capacity for the v3
         cell-gated arm (V3_TILE_CELL_BUCKETS, 1.12 margin — matching
         `select_cell_keep_frac`'s; overflow soft-drops far cells): 0.0 for
-        a provably-empty tile (whole-tile skip), 1.0 (≳0.9 live → dense
-        arm, nothing for the cell gate to remove) otherwise."""
+        a provably-empty tile (whole-tile skip), 1.0 for tiles above the
+        top bucket (cell frac > 0.8/1.12 ≈ 0.71 live → dense arm, too
+        little for the cell gate to remove) otherwise."""
         if self.kernel == "fast3":
             buckets = []
             for k, c in zip(keep, cell):

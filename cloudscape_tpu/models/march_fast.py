@@ -727,17 +727,19 @@ def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
                    chunk: int = 32768):
     """One slice of the amortized tile-cull prepass (the engine's pending
     pipeline): RAW per-(ray, coarse-cell) unclamped pre at the coarse probe
-    samples (−inf rows below horizon) for subsampled rays [i0, i0 + count),
-    scattered into `buf` [n_sub, prepass_steps] (donated by the engine's
-    jit wrapper). `cull_finalize` reduces to the per-ray priority (max over
-    cells — bitwise the former per-ray raw), applies the neighbor
+    samples (UNMASKED — the horizon mask is applied in `cull_finalize`, so
+    the occupancy dilation sees the same input as `_cull_prepass`) for
+    subsampled rays [i0, i0 + count), scattered into `buf`
+    [n_sub, prepass_steps] (donated by the engine's jit wrapper).
+    `cull_finalize` reduces to the per-ray priority (max over cells,
+    above-masked — bitwise the former per-ray raw), applies the neighbor
     dilation/upsample and tile reductions, and derives the per-tile CELL
     fractions that size fast3's per-tile capacities. i0 is traced (one
     executable serves every slice); the per-ray values match
     `cull_priority_map`'s internal prepass to float precision (per-ray math
     is identical; executable shapes differ)."""
     d = jax.lax.dynamic_slice(dirs_sub, (i0, 0), (count, 3))
-    above, ndir, ss, p0, _, _ = _ray_setup(d, params, steps)
+    _, ndir, ss, p0, _, _ = _ray_setup(d, params, steps)
     i_pre = (jnp.arange(prepass_steps, dtype=jnp.float32) + 1.0) \
         * float(steps // prepass_steps)
 
@@ -758,7 +760,6 @@ def cull_raw_slice(buf, dirs_sub, i0, params: MarchParams, bp: BrickPack,
         _pad_blocks(ndir, c, up0),
         _pad_blocks(ss, c, jnp.float32(1.0)),
     )).reshape(-1, prepass_steps)[:count]
-    raw = jnp.where(above[:, None], raw, jnp.float32(-jnp.inf))
     return jax.lax.dynamic_update_slice(buf, raw, (i0, 0))
 
 
@@ -776,7 +777,11 @@ def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
     hs, ws = H // ray_stride, W // ray_stride
     P = raw.shape[-1]
     above = (dirs[..., 1] > 0.0).reshape(-1)
-    r2 = jnp.max(raw, axis=1).reshape(hs, ws)
+    above_sub = above.reshape(H, W)[::ray_stride, ::ray_stride].reshape(-1)
+    # Per-ray priority: max over cells, THEN above-masked (matching
+    # `_cull_prepass`, which masks prio before the dilation).
+    r2 = jnp.where(above_sub, jnp.max(raw, axis=1),
+                   jnp.float32(-jnp.inf)).reshape(hs, ws)
     d2 = jnp.maximum(r2, _dilate_max(r2) - 0.1)
     prio = jnp.repeat(jnp.repeat(d2, ray_stride, axis=0), ray_stride,
                       axis=1).reshape(-1)
@@ -784,8 +789,10 @@ def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
     keep = (prio > -prepass_margin).astype(jnp.float32)
     tile_keep = keep.reshape(H // region, region, W // region, region) \
         .mean(axis=(1, 3))
-    # Dilated cell occupancy, mirroring `_cull_prepass` (3×3 across rays,
-    # ±1 along the ray), above-masked (below-horizon cells are never live).
+    # Dilated cell occupancy, mirroring `_cull_prepass` exactly: dilate the
+    # UNMASKED occupancy (3×3 across rays, ±1 along the ray), apply the
+    # above mask afterwards — so below-horizon occupied rays still
+    # contribute to their above-horizon neighbors' dilation.
     o = (raw > -cell_margin).reshape(hs, ws, P)
     o = o | jnp.roll(o, 1, 0) | jnp.roll(o, -1, 0)
     o = o | jnp.roll(o, 1, 1) | jnp.roll(o, -1, 1)
@@ -793,7 +800,6 @@ def cull_finalize(raw, dirs, region: int, ray_stride: int = 2,
     pad0 = jnp.zeros_like(o[:, :1])
     o = o | jnp.concatenate([pad0, o[:, :-1]], axis=1) \
         | jnp.concatenate([o[:, 1:], pad0], axis=1)
-    above_sub = above.reshape(H, W)[::ray_stride, ::ray_stride].reshape(-1)
     tile_cell = _tile_cell_fracs(o & above_sub[:, None],
                                  hs, ws, ray_stride, region)
     return prio, tile_keep, tile_cell

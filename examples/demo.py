@@ -7,8 +7,9 @@ writes tonemapped camera frames as PNGs.
     python examples/demo.py --frames 8 --out /tmp/cloud_demo
     python examples/demo.py --size 768 --frames-to-update 64  # reference scale
 
-The default kernel is the production serving path bench.py times — fast2
-(staged march + per-cycle cone cache) with per-tile culling; `--serve` runs
+The default kernel is the production serving path bench.py times — fast3
+(cell-gated v3 march; small tiles take a zero-machinery dense arm) with
+per-tile culling; `--serve` runs
 the fused per-display-frame `render_frame` loop (tile tick + composite in ONE
 dispatch), the exact analog of the reference's per-frame operating mode
 (`cloud_sky.gd:129-163`).
@@ -64,14 +65,14 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=300)
     ap.add_argument("--coverage", type=float, default=0.4)
     ap.add_argument("--wind-speed", type=float, default=30.0)
-    ap.add_argument("--kernel", default="fast2",
-                    choices=("fast2", "fast", "reference"),
-                    help="fast2 = the production serving path (staged march "
-                         "+ cone cache; bench.py's path)")
+    ap.add_argument("--kernel", default="fast3",
+                    choices=("fast3", "fast2", "fast", "reference"),
+                    help="fast3 = the production serving path (v3 cell-gated "
+                         "march; bench.py's path)")
     ap.add_argument("--tile-cull", dest="tile_cull", action="store_true",
                     default=None,
                     help="per-tile ray culling from the per-cycle priority "
-                         "map (default: on for fast2)")
+                         "map (default: on for fast2/fast3)")
     ap.add_argument("--no-tile-cull", dest="tile_cull", action="store_false")
     ap.add_argument("--cone-res", default="32,512,512",
                     help="fast2 cone-cache resolution hf,z,x")
@@ -86,7 +87,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.tile_cull is None:
-        args.tile_cull = args.kernel == "fast2"
+        args.tile_cull = args.kernel in ("fast2", "fast3")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
