@@ -211,6 +211,43 @@ def main() -> None:
         print(f"quality capture failed: {e!r}", file=sys.stderr)
         rec["quality_db_vs_exact"] = None
 
+    # ---- High-coverage quality at FULL scale, on chip (VERDICT r4 #6):
+    # the 0.7-coverage variant previously lived only in the CPU-scale
+    # ratio gate (tests/test_bench_config.py). Own auto-policy buckets
+    # (the knobs the engine would pick for this scene) + own cone cache;
+    # same exact-march referee.
+    try:
+        params_hc = MarchParams.create(
+            cloud_pos=np.array([1.5, -0.3]),
+            detailed_pos=np.array([0.4, 0.2]),
+            weather_pos=np.array([0.01, 0.02]),
+            time=12.5,
+            cloud_coverage=0.7,
+            light_direction=sun,
+            ground_color=np.array([0.27, 0.19, 0.027]),
+        )
+        rk_h, ck_h, hk_h, _, _ = v3_auto_policy(dirs, params_hc, bricks,
+                                                steps=STEPS)
+        fn_hc = jax.jit(
+            lambda d, p, c: march_bricks_v3(d, p, bricks, sky, steps=STEPS,
+                                            chunk=32768, cell_keep_frac=ck_h,
+                                            hot_keep_frac=hk_h, cone_cache=c,
+                                            ray_keep_frac=rk_h, ray_stride=2)
+        )
+        cone_hc = jax.block_until_ready(build(params_hc))
+        out_hc = np.asarray(jax.block_until_ready(
+            fn_hc(dirs, params_hc, cone_hc)))
+        exact_hc = np.asarray(jax.block_until_ready(
+            exact_fn(dirs, params_hc)))
+        peak = max(float(np.abs(exact_hc).max()), 1e-9)
+        mse = float(((out_hc - exact_hc) ** 2).mean())
+        rec["quality_db_vs_exact_high_coverage"] = round(
+            10.0 * math.log10(peak * peak / max(mse, 1e-20)), 2)
+        rec["high_coverage_policy"] = [rk_h, ck_h, hk_h]
+    except Exception as e:
+        print(f"high-coverage quality capture failed: {e!r}", file=sys.stderr)
+        rec["quality_db_vs_exact_high_coverage"] = None
+
     try:
         _per_tile_metrics(rec, sun, jnp.asarray(view_dirs()))
     except Exception as e:

@@ -5,6 +5,9 @@ driver entry point). Run on the real TPU:
 
     python bench/sweep.py            # all configs
     python bench/sweep.py 1 4 5      # subset
+    python bench/sweep.py --out SWEEP_r05.json   # also bank the rows
+                                     # as a machine-readable artifact
+                                     # (VERDICT r4 #8)
 """
 
 from __future__ import annotations
@@ -44,8 +47,15 @@ def main() -> None:
     )
     from cloudscape_tpu.models.packs import procedural_noise_pack, reference_noise_pack
 
-    which = {int(a) for a in sys.argv[1:]} or {1, 2, 3, 4, 5}
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    which = {int(a) for a in argv} or {1, 2, 3, 4, 5}
     dev = str(jax.devices()[0])
+    records = []
 
     noise = reference_noise_pack()
     bricks = BrickPack.from_noise(noise)
@@ -73,6 +83,7 @@ def main() -> None:
             "device": dev,
         }
         rec.update(extra or {})
+        records.append(rec)
         print(json.dumps(rec), flush=True)
 
     def time_v3(config, name, dirs, p, sky, cc, w, h, steps, bp=None):
@@ -190,6 +201,36 @@ def main() -> None:
         emit(5, "hierarchical_2048x1024x128", ms, 2048, 1024,
              {"clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3),
               "cone_cache": "32x512x512", "bands": 4, "coarse_steps": 32})
+
+        # Best-kernel row (VERDICT r4 #1): the same config through the
+        # window-lattice v3 cell-gated march — ray cull + cell gate + hot
+        # sub-compaction fed from the hierarchical windows, buckets sized
+        # per-band by the band-aware auto policy (ray_stride must stay 1
+        # on the window lattice; ≥40 dB gate in tests/test_hierarchical.py
+        # test_hier_v3_operating_point_holds_40db).
+        from cloudscape_tpu.models.march_fast import (
+            hier_v3_auto_policy, march_hierarchical_v3_banded,
+        )
+
+        rk, ck, hk, cell_frac, hot_frac = hier_v3_auto_policy(
+            dirs, p, bricks, steps=128, coarse_steps=32, bands=4)
+        f = lambda d, q, c: march_hierarchical_v3_banded(
+            d, q, bricks, sky, bands=4, steps=128, chunk=32768,
+            coarse_steps=32, cell_keep_frac=ck, hot_keep_frac=hk,
+            ray_keep_frac=rk, cone_cache=c)
+        ms, out = _timed(f, dirs, p, cc)
+        emit(5, "hierarchical_2048x1024x128_v3", ms, 2048, 1024,
+             {"kernel": "hier_v3", "ray_keep_frac": rk,
+              "cell_keep_frac": ck, "hot_keep_frac": hk,
+              "cell_frac": round(float(cell_frac), 4),
+              "hot_frac": round(float(hot_frac), 4),
+              "clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3),
+              "cone_cache": "32x512x512", "bands": 4, "coarse_steps": 32})
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"# wrote {len(records)} rows -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,14 @@ class PerfConfig:
                 f"got {self.frames_to_update}"
             )
         frames_sqrt = int(math.isqrt(self.frames_to_update))
+        if self.texture_size < frames_sqrt:
+            # Auto-correction (the reference's divisibility clamp) cannot
+            # rescue a size with no positive multiple below it — raise
+            # instead of silently deriving a non-positive tile region.
+            raise ValueError(
+                f"texture_size must be >= sqrt(frames_to_update) "
+                f"({frames_sqrt}), got {self.texture_size}"
+            )
         size = self.texture_size
         if size % frames_sqrt != 0:
             corrected = (size // frames_sqrt) * frames_sqrt

@@ -309,6 +309,30 @@ def _march_tile(dirs, params, noise, sky_img, *, region: int, steps: int,
                                cone_cache=cone_cache,
                                ray_keep_frac=ray_keep_frac,
                                cull_prio=cull_prio)
+    if kernel == "hier":
+        # Servable config-5 arm (VERDICT r4 #1): the window-lattice v3
+        # march per tile — each ray's step budget redistributed over its
+        # occupied [a, b] t-window (adaptive resolution, the reference's
+        # own top TODO). Capacity buckets deliberately uncapped (ck=hk=1.0,
+        # no ray select): the engine's per-tile cell buckets are measured
+        # on the STANDARD lattice and undercount window-lattice occupancy
+        # (docs/PERF_NOTES.md round 5), so capping here would soft-drop
+        # live cells. Dead rays (empty window / below horizon) are still
+        # hard-killed via above&any_occ. ray_stride MUST stay 1 on the
+        # window lattice (measured −4.5 dB at 2, PERF_NOTES round 5).
+        from cloudscape_tpu.models.march_fast import march_hierarchical_v3
+
+        bricks, cone_cache = noise
+        n = int(np.prod(dirs.shape[:-1]))
+        ps = max(1, steps // 4)
+        while steps % ps:
+            ps -= 1
+        return march_hierarchical_v3(
+            dirs, params, bricks, sky_img, steps=steps,
+            light_steps=light_steps, chunk=min(n, 16384),
+            coarse_steps=min(32, max(8, steps // 4)),
+            cell_keep_frac=1.0, hot_keep_frac=1.0, ray_keep_frac=None,
+            cone_cache=cone_cache, prepass_steps=ps, ray_stride=1)
     if kernel == "fast2":
         from cloudscape_tpu.models.march_fast import march_bricks_v2
 
@@ -543,7 +567,11 @@ class CloudSkyEngine:
         bucket-less tiles below V3_TILE_MIN_RAYS march DENSE with zero
         machinery, larger bucket-less tiles take the staged v2 path, and
         monolithic renders go through the measured-policy v3 cell-gated
-        march — the same kernel bench.py times), "fast2" (row-lean staged
+        march — the same kernel bench.py times), "hier" (the hierarchical
+        window-lattice march through the v3 cell-gated core — BASELINE
+        config 5's adaptive-step kernel, the reference's own top TODO,
+        servable per tile and monolithic; ≥40 dB gated in
+        tests/test_hierarchical.py), "fast2" (row-lean staged
         march + per-cycle cone-density cache), "fast" (brick-table,
         occupancy-compacted march — exact vs the scan anchor), or
         "reference" (scan-based march, the numerics anchor; all gated
@@ -568,12 +596,13 @@ class CloudSkyEngine:
         row block — tests/test_sharding.py). Default off: culled tiles are
         not bitwise-identical to unculled ones (the amortized ≡ monolithic
         invariant holds only within a mode)."""
-        if kernel not in ("fast", "fast2", "fast3", "reference"):
+        if kernel not in ("fast", "fast2", "fast3", "hier", "reference"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
         # "Staged" kernels march against the per-cycle cone-density cache
-        # (fast2's row-lean staged march; fast3's dense/v2/v3 tile policy).
-        self._staged = kernel in ("fast2", "fast3")
+        # (fast2's row-lean staged march; fast3's dense/v2/v3 tile policy;
+        # hier's window-lattice march).
+        self._staged = kernel in ("fast2", "fast3", "hier")
         self.cone_res = tuple(cone_res)
         self.mesh = mesh
         self.tile_cull = bool(tile_cull) and self._staged
@@ -599,7 +628,7 @@ class CloudSkyEngine:
         self.config = config
         self.sun = sun
         self.noise = noise if noise is not None else reference_noise_pack()
-        if kernel in ("fast", "fast2", "fast3"):
+        if kernel in ("fast", "fast2", "fast3", "hier"):
             from cloudscape_tpu.models.march_fast import BrickPack
 
             self._bricks = BrickPack.from_noise(self.noise)
@@ -1454,6 +1483,33 @@ class CloudSkyEngine:
                 cone_cache=self._cone_cache, ray_keep_frac=rk,
                 prepass_steps=ps, ray_stride=stride,
             )
+        if self.kernel == "hier":
+            from cloudscape_tpu.models.march_fast import (
+                hier_v3_auto_policy, march_hierarchical_v3_banded,
+            )
+
+            n_tex = self.perf.texture_size
+            steps = self.perf.march_steps
+            bands = 4 if n_tex % 4 == 0 and n_tex >= 256 else 1
+            coarse = min(32, max(8, steps // 4))
+            ps, _ = self._v3_march_knobs()  # stride is ALWAYS 1 on the
+            # window lattice (measured −4.5 dB at 2, PERF_NOTES round 5)
+            if self._v3_policy_cache is not None and \
+                    params is self._march_params:
+                rk, ck, hk = self._v3_policy_cache
+            else:
+                rk, ck, hk, _, _ = hier_v3_auto_policy(
+                    dirs, params, self._bricks, steps=steps,
+                    coarse_steps=coarse, bands=bands, prepass_steps=ps)
+                if params is self._march_params:
+                    self._v3_policy_cache = (rk, ck, hk)
+            return march_hierarchical_v3_banded(
+                dirs, params, self._bricks, sky_img, bands=bands,
+                steps=steps, light_steps=self.perf.light_steps,
+                chunk=min(n_tex * n_tex // bands, 32768),
+                coarse_steps=coarse, cell_keep_frac=ck, hot_keep_frac=hk,
+                ray_keep_frac=rk, cone_cache=self._cone_cache,
+                prepass_steps=ps, ray_stride=1)
         if self.kernel in ("fast", "fast2"):
             noise_arg = self._noise_arg if self.kernel == "fast2" else \
                 self._bricks

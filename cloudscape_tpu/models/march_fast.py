@@ -2288,6 +2288,83 @@ def march_bricks_v2(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
     return out.reshape(shape + (4,))
 
 
+def _hier_windows(flat, params: MarchParams, bp: BrickPack, steps: int,
+                  coarse_steps: int, chunk: int, occupancy_margin: float):
+    """Hierarchical window setup shared by `march_hierarchical` (v1 core)
+    and `march_hierarchical_v3`: per-ray occupied t-window [a, b] on the
+    shell segment from `coarse_steps` pre-erosion mip-2 density probes,
+    dilated one coarse cell and padded by `occupancy_margin` (conservative
+    — pre only shrinks under erosion, so a window that the dilated margin
+    marks empty is exactly empty at mip 0 wherever the mip-2 probe bounds
+    the field; gated vs a 512-step converged march in
+    tests/test_hierarchical.py).
+
+    Returns (above, ndir, phase, ldir, start, shelldist, a, b, any_occ),
+    all per-ray over the FULL grid (callers compact or cull as they
+    choose). Elementwise identical to the former inline phase 1 of
+    `march_hierarchical` (bitwise — tests gate banded ≡ monolithic)."""
+    n = flat.shape[0]
+    above, ndir, ss, _, phase, ldir = _ray_setup(flat, params, steps)
+    shelldist = ss * steps
+    # _ray_setup's p0 includes the jitter; recover the shell entry point
+    # for windowing.
+    cam = jnp.array([0.0, GROUND_RADIUS, 0.0], jnp.float32)
+    cam_b = jnp.broadcast_to(cam, ndir.shape)
+    start = cam + ndir * m.intersect_sphere_far(cam_b, ndir, SKY_B_RADIUS)[..., None]
+
+    # ---- 1. Coarse occupancy (chunked).
+    xz = jnp.array([0, 2])
+    k_c = (jnp.arange(coarse_steps, dtype=jnp.float32) + 0.5) / coarse_steps
+
+    def coarse_chunk(args):
+        startc, ndirc, sdc = args
+        p = startc[:, None, :] + ndirc[:, None, :] * (sdc[:, None] * k_c[None, :])[..., None]
+        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
+        pre, _ = _density_pre(p, weather, 2.0, params, bp)
+        return pre
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    blocks = (
+        _pad_blocks(start, chunk, up * GROUND_RADIUS),
+        _pad_blocks(ndir, chunk, up),
+        _pad_blocks(shelldist, chunk, jnp.float32(1.0)),
+    )
+    pre_c = jax.lax.map(coarse_chunk, blocks).reshape(-1, coarse_steps)[:n]
+
+    occ = pre_c > -occupancy_margin
+    # One-cell dilation (zero-padded shifts — no wrap-around).
+    pad = jnp.zeros_like(occ[:, :1])
+    occ = occ | jnp.concatenate([pad, occ[:, :-1]], axis=1) | \
+        jnp.concatenate([occ[:, 1:], pad], axis=1)
+    any_occ = jnp.any(occ, axis=1) & above
+
+    idx_c = jnp.arange(coarse_steps)
+    big = coarse_steps + 1
+    first = jnp.min(jnp.where(occ, idx_c[None, :], big), axis=1)
+    last = jnp.max(jnp.where(occ, idx_c[None, :], -1), axis=1)
+    a = jnp.clip(first.astype(jnp.float32) / coarse_steps, 0.0, 1.0)
+    b = jnp.clip((last.astype(jnp.float32) + 1.0) / coarse_steps, 0.0, 1.0)
+    b = jnp.maximum(b, a + 1.0 / coarse_steps)
+    return above, ndir, phase, ldir, start, shelldist, a, b, any_occ
+
+
+def _hier_window_lattice(flat, params: MarchParams, bp: BrickPack,
+                         steps: int, coarse_steps: int, chunk: int,
+                         occupancy_margin: float):
+    """Window-adjusted fine march lattice over the FULL grid (no
+    compaction): per-ray step size / jittered origin on the occupied
+    [a, b] window. Returns (above_w, ndir, ss_w, p0_w, phase) with
+    above_w = above & any_occ (empty-window rays are definitively dead —
+    same zero output as `march_hierarchical`'s non-compacted rays).
+    Elementwise identical to v1's post-compaction window math."""
+    above, ndir, phase, _, start, shelldist, a, b, any_occ = _hier_windows(
+        flat, params, bp, steps, coarse_steps, chunk, occupancy_margin)
+    ss_w = (b - a) * shelldist / steps
+    jitter = m.hash_iq(start * 10.0)  # same per-texel dither source
+    p0_w = start + ndir * (a * shelldist + jitter * ss_w)[..., None]
+    return above & any_occ, ndir, ss_w, p0_w, phase
+
+
 @partial(jax.jit, static_argnames=("steps", "light_steps", "coarse_steps",
                                    "chunk", "capacity_frac", "t_cutoff",
                                    "ray_capacity_frac", "approx_light"))
@@ -2331,46 +2408,9 @@ def march_hierarchical(dirs, params: MarchParams, bp: BrickPack, sky_lut_img,
     n = flat.shape[0]
     atmos = ambient_colors(params, sky_lut_img)
 
-    above, ndir, ss, p0, phase, ldir = _ray_setup(flat, params, steps)
-    shelldist = ss * steps
-    # p0 includes the jitter; recover the shell entry point for windowing.
-    cam = jnp.array([0.0, GROUND_RADIUS, 0.0], jnp.float32)
-    cam_b = jnp.broadcast_to(cam, ndir.shape)
-    start = cam + ndir * m.intersect_sphere_far(cam_b, ndir, SKY_B_RADIUS)[..., None]
-
-    # ---- 1. Coarse occupancy (chunked).
-    xz = jnp.array([0, 2])
-    k_c = (jnp.arange(coarse_steps, dtype=jnp.float32) + 0.5) / coarse_steps
-
-    def coarse_chunk(args):
-        startc, ndirc, sdc = args
-        p = startc[:, None, :] + ndirc[:, None, :] * (sdc[:, None] * k_c[None, :])[..., None]
-        weather = _weather_rb(bp, p[..., xz], params.weather_pos)
-        pre, _ = _density_pre(p, weather, 2.0, params, bp)
-        return pre
-
-    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    blocks = (
-        _pad_blocks(start, chunk, up * GROUND_RADIUS),
-        _pad_blocks(ndir, chunk, up),
-        _pad_blocks(shelldist, chunk, jnp.float32(1.0)),
-    )
-    pre_c = jax.lax.map(coarse_chunk, blocks).reshape(-1, coarse_steps)[:n]
-
-    occ = pre_c > -occupancy_margin
-    # One-cell dilation (zero-padded shifts — no wrap-around).
-    pad = jnp.zeros_like(occ[:, :1])
-    occ = occ | jnp.concatenate([pad, occ[:, :-1]], axis=1) | \
-        jnp.concatenate([occ[:, 1:], pad], axis=1)
-    any_occ = jnp.any(occ, axis=1) & above
-
-    idx_c = jnp.arange(coarse_steps)
-    big = coarse_steps + 1
-    first = jnp.min(jnp.where(occ, idx_c[None, :], big), axis=1)
-    last = jnp.max(jnp.where(occ, idx_c[None, :], -1), axis=1)
-    a = jnp.clip(first.astype(jnp.float32) / coarse_steps, 0.0, 1.0)
-    b = jnp.clip((last.astype(jnp.float32) + 1.0) / coarse_steps, 0.0, 1.0)
-    b = jnp.maximum(b, a + 1.0 / coarse_steps)
+    above, ndir, phase, ldir, start, shelldist, a, b, any_occ = \
+        _hier_windows(flat, params, bp, steps, coarse_steps, chunk,
+                      occupancy_margin)
 
     # ---- 2. Ray compaction.
     ray_cap = max(int(n * ray_capacity_frac), chunk)
@@ -2422,6 +2462,210 @@ def march_hierarchical_banded(dirs, *args, bands: int = 4, **kwargs):
     outs = [march_hierarchical(dirs[i * rows:(i + 1) * rows], *args, **kwargs)
             for i in range(bands)]
     return jnp.concatenate(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("steps", "light_steps", "coarse_steps",
+                                   "chunk", "cell_keep_frac", "hot_keep_frac",
+                                   "ray_keep_frac", "prepass_steps",
+                                   "ray_stride", "cell_margin", "cone_res",
+                                   "occupancy_margin", "accum"))
+def march_hierarchical_v3(dirs, params: MarchParams, bp: BrickPack,
+                          sky_lut_img, steps: int = 128,
+                          light_steps: int = 6, coarse_steps: int = 32,
+                          chunk: int = 32768, cell_keep_frac: float = 0.5,
+                          hot_keep_frac: float = 0.5,
+                          ray_keep_frac: float | None = None,
+                          cone_cache: "ConeCache | None" = None,
+                          cone_res=(32, 512, 512), prepass_steps: int = 32,
+                          ray_stride: int = 1, cell_margin: float = 0.1,
+                          occupancy_margin: float = 0.3,
+                          accum: str = "segmented"):
+    """Hierarchical march through the v3 cell-gated core (VERDICT r4 #1:
+    BASELINE config 5 fed the machinery that bought 2-5× on configs 2-4).
+
+    Phase 1 is `march_hierarchical`'s coarse window probe — the adaptive
+    re-distribution of the full `steps` budget over each ray's occupied
+    [a, b] t-window (the reference's own top TODO,
+    `/root/reference/README.md:28`), which is what holds ≥ 40 dB against a
+    512-step converged march at 128 steps. The fine phase then runs
+    `_march_core3` ON THE WINDOW LATTICE instead of the v1 compacted core:
+
+    - the stride-`ray_stride` cull prepass probes the window-adjusted
+      steps, so its per-(ray, cell) grid refines WITH the window — cells
+      cover occupied shell, not empty sky;
+    - the ray cull replaces v1's explicit `any_occ` compaction: an
+      empty-window ray collapses to a 1-coarse-cell sliver at shell exit,
+      scores prio ≤ −margin, and drops in the bucketed ray select
+      (`above & any_occ` additionally hard-kills its cell rows);
+    - the cell gate removes the occupancy GAPS inside wide windows (patchy
+      clouds along a ray) that the single [first, last] window cannot
+      clip, and the hot sub-compaction confines erosion + cone gathers to
+      exactly-occupied cells.
+
+    Size the buckets with `hier_v3_auto_policy` (window-lattice stats —
+    the standard-lattice `v3_auto_policy` undercounts live cells because
+    windows concentrate cells inside clouds). Banded form:
+    `march_hierarchical_v3_banded` (HBM cap at config-5 scale).
+
+    ray_stride defaults to 1 here (the standard-lattice v3 ships stride
+    2): on the window lattice cell k spans a DIFFERENT t-range per ray
+    (each ray has its own [a, b]), so inheriting a stride-neighbor's
+    cell-occupancy row mismarks cells dead — measured 37.0 dB at stride
+    2 vs 41.5 at stride 1 on the config-5 scene, independent of every
+    capacity knob (round-5 isolation, docs/PERF_NOTES.md)."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    atmos = ambient_colors(params, sky_lut_img)
+    if cone_cache is None:
+        cone_cache = build_cone_cache(params, bp, light_steps, res=cone_res,
+                                      chunk=min(chunk, max(n, 1)))
+    above_w, ndir, ss_w, p0_w, phase = _hier_window_lattice(
+        flat, params, bp, steps, coarse_steps, chunk, occupancy_margin)
+    out = _march_core3(above_w, ndir, ss_w, p0_w, phase, params, bp, atmos,
+                       steps, min(chunk, max(n, 1)), cell_keep_frac,
+                       cone_cache, ray_keep_frac, prepass_steps,
+                       shape if len(shape) == 2 else None, ray_stride,
+                       cell_margin, hot_keep_frac, 0, None, accum)
+    return out.reshape(shape + (4,))
+
+
+def march_hierarchical_v3_banded(dirs, *args, bands: int = 4, **kwargs):
+    """`march_hierarchical_v3` streamed over `bands` horizontal row bands
+    (HBM cap, as `march_hierarchical_banded`). Unlike the v1 banded form,
+    banded is NOT bitwise the monolithic render: the prepass's 3×3 ray
+    dilation and the stride-2 priority upsample see only in-band neighbor
+    rows (2 boundary rows per band seam lose cross-band dilation), and
+    capacity pools are per-band. The config-5 acceptance is therefore a
+    direct PSNR gate on the banded render vs the converged ground truth
+    (tests/test_hierarchical.py)."""
+    H = dirs.shape[0]
+    assert H % bands == 0, f"rows {H} not divisible by bands {bands}"
+    rows = H // bands
+    outs = [march_hierarchical_v3(dirs[i * rows:(i + 1) * rows], *args,
+                                  **kwargs)
+            for i in range(bands)]
+    return jnp.concatenate(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("steps", "coarse_steps", "prepass_steps",
+                                   "chunk", "ray_stride", "cell_margin",
+                                   "prepass_margin", "occupancy_margin"))
+def _hier_cull_cell_stats(dirs, params: MarchParams, bp: BrickPack,
+                          steps: int = 128, coarse_steps: int = 32,
+                          prepass_steps: int = 32, chunk: int = 32768,
+                          ray_stride: int = 1, cell_margin: float = 0.1,
+                          prepass_margin: float = 0.02,
+                          occupancy_margin: float = 0.3):
+    """`cull_cell_stats` on the hierarchical WINDOW lattice: (keep_frac,
+    cell_frac) from `_cull_prepass` over the window-adjusted steps — the
+    stats that size `march_hierarchical_v3`'s buckets (the standard
+    lattice undercounts: windows concentrate cells inside clouds)."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    shape = dirs.shape[:-1]
+    flat = dirs.reshape(-1, 3)
+    n = flat.shape[0]
+    above_w, ndir, ss_w, p0_w, _ = _hier_window_lattice(
+        flat, params, bp, steps, coarse_steps, min(chunk, max(n, 1)),
+        occupancy_margin)
+    prio, occ_cells, meta = _cull_prepass(
+        above_w, ndir, ss_w, p0_w, params, bp, steps, prepass_steps,
+        min(chunk, max(n, 1)), shape if len(shape) == 2 else None,
+        ray_stride, cell_margin)
+    keep = jnp.mean((prio > -prepass_margin).astype(jnp.float32))
+    if meta is not None and meta[2] > 1:
+        gh, gw, stride = meta
+        o = occ_cells.reshape(gh, 1, gw, 1, -1)
+        occ_full = jnp.broadcast_to(
+            o, (gh, stride, gw, stride, o.shape[-1])
+        ).reshape(n, -1)
+    else:
+        occ_full = occ_cells
+    live = occ_full & above_w[:, None]
+    return keep, jnp.mean(live.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("steps", "coarse_steps", "prepass_steps",
+                                   "stride", "chunk", "occupancy_margin"))
+def hier_hot_cell_fraction(dirs, params: MarchParams, bp: BrickPack,
+                           steps: int = 128, coarse_steps: int = 32,
+                           prepass_steps: int = 32, stride: int = 8,
+                           chunk: int = 16384,
+                           occupancy_margin: float = 0.3):
+    """`hot_cell_fraction` on the hierarchical window lattice: fraction of
+    (ray, coarse-cell) blocks with any exact `pre > 0` sample at the
+    window-adjusted fine positions, probing every `stride`-th ray (the
+    window math is per-ray elementwise, so the strided subset's windows
+    match the full grid's)."""
+    flat = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)[::stride]
+    nr = flat.shape[0]
+    ch = min(chunk, max(nr, 1))
+    above_w, ndir, ss_w, p0_w, _ = _hier_window_lattice(
+        flat, params, bp, steps, coarse_steps, ch, occupancy_margin)
+    spc = steps // prepass_steps
+    i_step = jnp.arange(1, steps + 1, dtype=jnp.float32)
+
+    def dense_chunk(args):
+        p0c, ndirc, ssc = args
+        tt = ssc[:, None] * i_step[None, :]
+        px = p0c[:, 0, None] + ndirc[:, 0, None] * tt
+        py = p0c[:, 1, None] + ndirc[:, 1, None] * tt
+        pz = p0c[:, 2, None] + ndirc[:, 2, None] * tt
+        w = _weather_rb_xy(bp, px, pz, params.weather_pos)
+        pre_c, _ = _density_pre_xyz(px, py, pz, w, 0.0, params, bp)
+        return pre_c > 0.0
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    occ = jax.lax.map(dense_chunk, (
+        _pad_blocks(p0_w, ch, up * GROUND_RADIUS),
+        _pad_blocks(ndir, ch, up),
+        _pad_blocks(ss_w, ch, jnp.float32(1.0)),
+    )).reshape(-1, steps)[:nr]
+    hot = jnp.any(occ.reshape(nr, prepass_steps, spc), axis=2) \
+        & above_w[:, None]
+    return jnp.mean(hot.astype(jnp.float32))
+
+
+def hier_v3_auto_policy(dirs, params: MarchParams, bp: BrickPack,
+                        steps: int = 128, coarse_steps: int = 32,
+                        ray_stride: int = 1, cell_margin: float = 0.1,
+                        prepass_steps: int = 32, bands: int = 1):
+    """Scene-adaptive knobs for `march_hierarchical_v3` — `v3_auto_policy`
+    measured on the WINDOW lattice (two probe-scale device calls per
+    cycle/scene, ×bands). Returns (ray_keep_frac, cell_keep_frac,
+    hot_keep_frac, cell_frac, hot_frac). The live-cell fraction under
+    windows runs well above the standard lattice's (windows remove the
+    empty shell the cell gate would otherwise skim), so buckets sized by
+    the standard policy would overflow and soft-drop far cells.
+
+    bands > 1 sizes for `march_hierarchical_v3_banded`: capacity pools
+    are PER BAND there, so each fraction must cover the densest band,
+    not the global mean (global sizing measured 27.5 dB on config 5 —
+    zenith-band overflow soft-dropped live rays; per-band-max restores
+    the monolithic 41.5 dB, round-5 isolation in docs/PERF_NOTES.md).
+    cell_frac/hot_frac returned are the per-band maxima."""
+    H = dirs.shape[0]
+    assert H % bands == 0, f"rows {H} not divisible by bands {bands}"
+    rows = H // bands
+    keep = cell_frac = hot_frac = 0.0
+    for i in range(bands):
+        band = dirs[i * rows:(i + 1) * rows]
+        k, cf = (float(v) for v in _hier_cull_cell_stats(
+            band, params, bp, steps=steps, coarse_steps=coarse_steps,
+            ray_stride=ray_stride, cell_margin=cell_margin,
+            prepass_steps=prepass_steps))
+        hf = float(hier_hot_cell_fraction(
+            band, params, bp, steps=steps, coarse_steps=coarse_steps,
+            prepass_steps=prepass_steps))
+        keep, cell_frac = max(keep, k), max(cell_frac, cf)
+        hot_frac = max(hot_frac, hf)
+    # Derive from the maxima: every band's pool is sized rk·ck(·hk) of
+    # its rows, so covering the densest band covers them all.
+    rk = select_ray_keep_frac(keep)
+    ck = select_cell_keep_frac(cell_frac / max(rk, 1e-6))
+    hk = select_cell_keep_frac(hot_frac / max(rk * ck, 1e-6), margin=1.2)
+    return rk, ck, hk, cell_frac, hot_frac
 
 
 @partial(jax.jit, static_argnames=("steps", "light_steps", "chunk", "compact",

@@ -32,11 +32,20 @@ def tiny_noise():
 
 @pytest.fixture()
 def engine(tiny_noise):
+    # kernel="fast" (the exact brick-table march, no cone_prebake): these
+    # tests assert the REFERENCE's scheduling semantics bitwise — amortized
+    # ≡ monolithic (a pure tiling of the same math) and boundary-frame
+    # parameter pickup. The production fast3 default intentionally relaxes
+    # both (scale-adaptive tile policy ≠ monolithic v3 kernel; cone_prebake
+    # defers pickup one cycle — documented in CloudSkyEngine.__init__/
+    # docs/PARITY.md); its own gates live in tests/test_tile_dense.py and
+    # test_bench_config.py.
     return CloudSkyEngine(
         perf=TINY_PERF,
         config=CloudConfig(cloud_coverage=0.6),
         sun=SunState(direction=(0.3, 0.5, -0.8)),
         noise=tiny_noise,
+        kernel="fast",
     )
 
 
@@ -306,7 +315,7 @@ def test_save_restore_roundtrip(engine, tiny_noise):
         engine.update_sky(now=0.1 * i)
     state = engine.save()
 
-    fresh = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise)
+    fresh = CloudSkyEngine(perf=TINY_PERF, noise=tiny_noise, kernel="fast")
     fresh.restore(state)
     assert fresh.ring.frame == engine.ring.frame
     assert fresh.ring.update_position == engine.ring.update_position
@@ -327,7 +336,8 @@ def test_update_cycle_equals_ticked_cycle(tiny_noise):
     """One batched `update_cycle` dispatch must produce the same ring
     contents as N individual `update_sky` ticks at a static scene."""
     kw = dict(perf=TINY_PERF, config=CloudConfig(cloud_coverage=0.6),
-              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise)
+              sun=SunState(direction=(0.3, 0.5, -0.8)), noise=tiny_noise,
+              kernel="fast")  # exact kernel: see the engine fixture note
     a = CloudSkyEngine(**kw)
     b = CloudSkyEngine(**kw)
 
@@ -681,3 +691,42 @@ def test_fused_frame_loop_matches_sequential(tiny_noise):
     np.testing.assert_allclose(np.asarray(ring_seq), np.asarray(ring_loop),
                                atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(acc_seq, float(acc_loop), rtol=1e-5)
+
+
+def test_hier_kernel_serves_and_renders(tiny_noise):
+    """kernel="hier" (VERDICT r4 #1: the config-5 adaptive-step path,
+    servable from the engine): amortized ticks fill the ring with finite
+    non-empty tiles, and the monolithic render (banded window-lattice
+    march with the band-aware auto policy) is finite and covers the same
+    texels to tile-policy tolerance. Amortized is NOT bitwise monolithic
+    here (per-tile vs banded capacity pools and dilation neighborhoods —
+    documented in the _march_tile hier arm)."""
+    eng = CloudSkyEngine(
+        perf=PerfConfig(texture_size=32, frames_to_update=16, march_steps=8,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=(0.3, 0.5, -0.8)),
+        noise=tiny_noise,
+        kernel="hier",
+        cone_res=(8, 64, 64),
+    )
+    assert eng.can_run, "hier kernel failed shape validation"
+    eng.update_sky(now=0.0)  # warm start fills all three buffers
+    ring = np.asarray(eng.cloud_ring)
+    assert np.isfinite(ring).all()
+    assert np.abs(ring).max() > 0.0, "hier warm start left the ring empty"
+    for i in range(1, 18):  # one full cycle + rotation
+        eng.update_sky(now=i / 60.0)
+    assert np.isfinite(np.asarray(eng.cloud_ring)).all()
+    mono = np.asarray(eng.render_full_hemisphere())
+    assert np.isfinite(mono).all()
+    assert (mono[..., 3] > 0.0).mean() > 0.05, "hier monolithic is empty"
+
+
+def test_perf_validation_rejects_nonpositive_size():
+    """validate() must raise (not silently derive a non-positive tile
+    region) when texture_size has no positive clamp target."""
+    with pytest.raises(ValueError):
+        PerfConfig(texture_size=-4).validate()
+    with pytest.raises(ValueError, match="frames_to_update"):
+        PerfConfig(frames_to_update=7).validate()

@@ -113,6 +113,47 @@ def test_banded_equals_monolithic(setup):
     np.testing.assert_allclose(band, mono, atol=1e-5, rtol=0.0)
 
 
+@pytest.mark.slow
+def test_hier_v3_operating_point_holds_40db(setup):
+    """VERDICT r4 #1: config 5 through the v3 cell-gated core. The banded
+    window-lattice march with the band-aware auto policy must hold the
+    40 dB bar against the 512-step converged ground truth — same gate as
+    the v1 operating point. Round-5 isolation (docs/PERF_NOTES.md): this
+    requires ray_stride=1 (stride-2 row inheritance is invalid across
+    per-ray windows, −4.5 dB) and per-band-max bucket sizing (global
+    sizing overflowed the zenith band, −14 dB)."""
+    from cloudscape_tpu.models.march_fast import (
+        build_cone_cache, hier_v3_auto_policy, march_hierarchical_v3_banded,
+    )
+
+    bp, slut, params, dirs, gt = setup
+    cc = build_cone_cache(params, bp, 6, res=(24, 448, 448), chunk=16384)
+    rk, ck, hk, _, _ = hier_v3_auto_policy(dirs, params, bp, steps=128,
+                                           coarse_steps=32, bands=4)
+    hier = np.asarray(
+        march_hierarchical_v3_banded(dirs, params, bp, slut, bands=4,
+                                     steps=128, chunk=1024, coarse_steps=32,
+                                     cell_keep_frac=ck, hot_keep_frac=hk,
+                                     ray_keep_frac=rk, cone_cache=cc)
+    )
+    p = psnr(hier, gt)
+    assert p > 40.0, f"config-5 v3 operating point {p:.1f} dB vs gt-512"
+
+
+def test_hier_v3_empty_sky_is_zero(setup):
+    from cloudscape_tpu.models.march_fast import march_hierarchical_v3
+
+    bp, slut, params, dirs, _ = setup
+    import dataclasses
+
+    clear = dataclasses.replace(params, cloud_coverage=jnp.float32(0.0))
+    out = np.asarray(
+        march_hierarchical_v3(dirs, clear, bp, slut, steps=32, chunk=1024,
+                              coarse_steps=8, prepass_steps=8)
+    )
+    assert np.abs(out).max() == 0.0
+
+
 def test_hierarchical_empty_sky_is_zero(setup):
     bp, slut, params, dirs, _ = setup
     import dataclasses

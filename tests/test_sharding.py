@@ -134,15 +134,30 @@ def test_sharded_v3_prepass_gate_bitwise(setup):
 
 
 def test_sharded_fast3_kernel_matches_single(setup):
-    """The v3 (headline) kernel under shard_map — VERDICT r3 #2. The gate
-    is bitwise (test above); the rendered VALUES are tolerance-equal, not
-    bitwise: inside a shard_map body with collectives XLA makes different
-    fma-contraction/fusion choices in the erosion chain (~1 ulp on sample
-    positions/t — measured: a plain unsharded call on one shard's rows IS
-    bitwise the full render, only the shard_map compilation differs),
-    amplified through the exp accumulation to ≤ ~1e-2 on the image — the
-    same noise class as the repo's other cross-form gates
-    (tests/test_march_v3.py::test_v3_gates_off_matches_v2)."""
+    """The v3 (headline) kernel under shard_map — VERDICT r3 #2 / r4 #7.
+
+    The gate is bitwise (test above). The rendered VALUES under an SPMD
+    (>1-device) compile are tolerance-equal to the single compile, and the
+    round-5 isolation (docs/PERF_NOTES.md round 5) pinned the divergence's
+    shape precisely:
+
+    - NOT capacity/threshold flips: identical diff set with every gate at
+      1.0 (rk=ck=hk) and under both accumulation paths;
+    - NOT the halo collective or per-shard shapes: a 1-device shard_map
+      (same body, same collectives, same shapes) is BITWISE the single
+      compile, and every stream sub-chain (positions, weather, pre,
+      erosion) probed in isolation under shard_map is bitwise;
+    - it IS the XLA SPMD partitioner's whole-module fusion/contraction
+      choices: any >1-device mesh produces ONE deterministic alternative
+      rendering — asserted below as mesh-size invariance (2-device ≡
+      8-device bitwise), which is the deployable claim: the result does
+      not depend on HOW MANY chips.
+
+    Bound: ≤ ~1.3e-2 absolute on an image with peak ~1, > 60 dB, > 90 %
+    of texels exactly equal."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
     from cloudscape_tpu.models.march_fast import (
         BrickPack, build_cone_cache, march_bricks_v3,
     )
@@ -171,6 +186,16 @@ def test_sharded_fast3_kernel_matches_single(setup):
     # The gate being bitwise shows up as most texels exactly equal.
     assert (shard == single).all(axis=-1).mean() > 0.9
     assert np.abs(single).max() > 0.0, "sharded v3 test is vacuous"
+    # Mesh-size invariance: the SPMD result is ONE deterministic rendering
+    # for any >1-device mesh (round-5 isolation) — a reshard from 8 chips
+    # to 2 must be bitwise.
+    mesh2 = sharding.make_mesh(list(mesh.devices.flat)[:2])
+    shard2 = np.asarray(
+        sharding.render_hemisphere_sharded(mesh2, n, params, (bp, cone),
+                                           slut, steps=8, light_steps=2,
+                                           kernel="fast3")
+    )
+    np.testing.assert_array_equal(shard2, shard)
 
 
 def test_mesh_engine_fast3_matches_single(setup):
