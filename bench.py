@@ -334,13 +334,15 @@ def _per_tile_metrics(rec: dict, sun, eye) -> None:
     rec["tile_bucket_hist"] = {str(b): buckets.count(b) for b in distinct}
     K = n_tiles
 
+    cloud_pair, sky_pair = eng._display_pair_tables()
+
     def _variant(b):
         def branch(op):
             ring, sky_ring, x0, y0, params_, noise_arg, sky_slot, tlut_, \
                 eye_, blend, light, disk, prio = op
             return _render_frame_fused(
                 ring, sky_ring, jnp.int32(0), x0, y0,
-                jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
+                cloud_pair, sky_pair,
                 params_, noise_arg, sky_slot, tlut_, eye_, blend, light,
                 disk, prio,
                 texture_size=eng.perf.texture_size, region=region,

@@ -59,7 +59,7 @@ def main():
                            wind_speed=10.0,
                            ground_color=(0.27, 0.19, 0.027, 1.0)),
         sun=SunState(direction=tuple(sun)),
-        kernel="fast2",
+        kernel="fast3",
         cone_res=(32, 512, 512),
         tile_cull=True,
     )

@@ -90,11 +90,13 @@ def main():
 
     timed("render_view composite (1280x720)", view_only)
 
+    cloud_pair, sky_pair = eng._display_pair_tables()
+
     def fused(skip):
         ring = eng.cloud_ring + 0.0
         _, frame = _render_frame_fused(
             ring, eng.sky_ring, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
+            cloud_pair, sky_pair,
             eng._march_params, eng._noise_arg, jnp.int32(0),
             eng.transmittance, eye, jnp.float32(0.5),
             jnp.asarray(eng.frame_data.light_direction, jnp.float32),

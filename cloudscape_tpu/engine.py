@@ -462,6 +462,27 @@ def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
     return jax.lax.fori_loop(0, count, body, ring)
 
 
+@jax.jit
+def _build_display_pair(cloud_ring, cfrom, cto, sky_ring, b0, b1):
+    """Once-per-cycle display-pair brick tables: the blend pair textures
+    are FROZEN between rotations (only `texture_to_update` is written
+    mid-cycle), so the serving composite's fetch sources can be packed
+    once — each 128-lane row = from rgba (channels 0-3) ‖ to rgba (4-7)
+    over a (4, 4) brick — and every tick's blend happens per PIXEL after
+    the fetch (the same order as the split-path `composite`). This
+    removes the per-tick pair pre-blend + rebrick, measured 16.3 of the
+    31.7 ms serving tick (bench/probe_tile_split.py, VERDICT r4 #2)."""
+    from cloudscape_tpu.ops.brick import build_brick2_device
+
+    cp = build_brick2_device(
+        jnp.concatenate([cloud_ring[cfrom], cloud_ring[cto]], axis=-1),
+        (4, 4), (3, 3), wrap="clamp")
+    sp = build_brick2_device(
+        jnp.concatenate([sky_ring[b0], sky_ring[b1]], axis=-1),
+        (4, 4), (3, 3), wrap="clamp")
+    return cp, sp
+
+
 @partial(
     jax.jit,
     static_argnames=("texture_size", "region", "steps", "light_steps",
@@ -469,8 +490,8 @@ def _update_tiles_batch(ring, tex_idx, start_tile, params: MarchParams, noise,
                      "skip_march"),
     donate_argnums=(0,),
 )
-def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
-                        sky_b0, sky_b1, params: MarchParams, noise, sky_slot,
+def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, cloud_pair,
+                        sky_pair, params: MarchParams, noise, sky_slot,
                         tlut, eyedirs, blend_amount, light_dir,
                         sun_disk_scale, prio_map=None, *, texture_size: int,
                         region: int, steps: int, light_steps: int,
@@ -484,9 +505,10 @@ def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
     (~60 ms relay RTT each through the axon tunnel); the serving path fuses
     them (VERDICT r1 next-#5). skip_march (the tile-cull 0.0 bucket) writes
     the provably-empty tile as zeros — exactly the all-culled march result —
-    and keeps only the composite. Returns (new_ring, frame)."""
+    and keeps only the composite. cloud_pair/sky_pair: the cycle's
+    8-channel pair brick tables (`_build_display_pair`). Returns
+    (new_ring, frame)."""
     from cloudscape_tpu.models.compositor import composite_display
-    from cloudscape_tpu.ops.brick import build_brick2_device
 
     if skip_march:
         tile = jnp.zeros((region, region, 4), jnp.float32)
@@ -503,21 +525,11 @@ def _render_frame_fused(ring, sky_ring, tex_idx, x0, y0, blend_from, blend_to,
                            capacity_frac=capacity_frac,
                            ray_keep_frac=ray_keep_frac, cull_prio=cull_prio)
     ring = jax.lax.dynamic_update_slice(ring, tile[None], (tex_idx, y0, x0, 0))
-    # Display blending is linear, so it commutes with the bilinear fetch:
-    # blend the texture PAIRS once per frame, rebrick (trivial: ~11k gather
-    # rows), and composite with 3 fat rows per pixel instead of 5 textures ×
-    # 4 narrow corner rows (~100 ms/frame at 1280×720, measured).
-    cf = ring[blend_from]
-    cb = build_brick2_device(cf + (ring[blend_to] - cf) * blend_amount,
-                             (4, 8), (3, 7), wrap="clamp")
-    sf = sky_ring[sky_b0]
-    sb = build_brick2_device(sf + (sky_ring[sky_b1] - sf) * blend_amount,
-                             (4, 8), (3, 7), wrap="clamp")
     # tlut stays raw: since the constant-position hoist in get_atmo the
     # composite reads it exactly once per frame — rebricking the whole LUT
     # to serve one fetch was pure overhead.
-    frame = composite_display(eyedirs, cb, sb, tlut, light_dir,
-                              sun_disk_scale, deband=deband)
+    frame = composite_display(eyedirs, cloud_pair, sky_pair, tlut, light_dir,
+                              sun_disk_scale, blend_amount, deband=deband)
     return ring, frame
 
 
@@ -642,6 +654,7 @@ class CloudSkyEngine:
         n = self.perf.texture_size
         self.cloud_ring = jnp.zeros((3, n, n, 4), jnp.float32)
         self.sky_ring = jnp.zeros((3,) + self.SKY_LUT_SHAPE, jnp.float32)
+        self._display_pair = None
 
         self.frame_data = FrameData()
         self._head_frame_data = self.frame_data  # replaced by a copy at refresh
@@ -724,6 +737,7 @@ class CloudSkyEngine:
         self.perf = corrected
         n = self.perf.texture_size
         self.cloud_ring = jnp.zeros((3, n, n, 4), jnp.float32)
+        self._display_pair = None
         self.ring.reset()
         self._pending = None  # stale snapshot/slab schedule
         self._picked_sky = None
@@ -1039,6 +1053,19 @@ class CloudSkyEngine:
                 )
         self._warmed_tile_buckets = done | want
 
+    def _display_pair_tables(self):
+        """The cycle's 8-channel display-pair brick tables (lazy; rebuilt
+        once per rotation — every ring-mutation site nulls the cache). See
+        `_build_display_pair`."""
+        if self._display_pair is None:
+            b0, b1 = self.ring.sky_back_textures
+            self._display_pair = _build_display_pair(
+                self.cloud_ring,
+                jnp.int32(self.ring.texture_to_blend_from),
+                jnp.int32(self.ring.texture_to_blend_to),
+                self.sky_ring, jnp.int32(b0), jnp.int32(b1))
+        return self._display_pair
+
     def _warm_fused_variants(self, eyedirs, deband: bool) -> None:
         """Compile the fused serving executable for every cull bucket this
         cycle can dispatch at this camera shape (see
@@ -1048,13 +1075,14 @@ class CloudSkyEngine:
         key = (eyedirs.shape, bool(deband))
         warmed = getattr(self, "_warmed_fused", {})
         done = warmed.get(key, set())
+        cloud_pair, sky_pair = self._display_pair_tables()
         for b in sorted(want - done):
             scratch = self.cloud_ring + 0.0
             if b == 0.0:
                 _render_frame_fused(
                     scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
-                    jnp.int32(1), self._march_params, self._noise_arg,
+                    jnp.int32(0), cloud_pair, sky_pair,
+                    self._march_params, self._noise_arg,
                     jnp.int32(0), self.transmittance, eyedirs,
                     jnp.float32(0.5),
                     jnp.asarray(self.frame_data.light_direction, jnp.float32),
@@ -1075,8 +1103,8 @@ class CloudSkyEngine:
             # None) — warm it too (see _warm_tile_cull_variants).
             _render_frame_fused(
                 scratch, self.sky_ring, jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0),
-                jnp.int32(1), self._march_params, self._noise_arg,
+                jnp.int32(0), cloud_pair, sky_pair,
+                self._march_params, self._noise_arg,
                 jnp.int32(0), self.transmittance, eyedirs,
                 jnp.float32(0.5),
                 jnp.asarray(self.frame_data.light_direction, jnp.float32),
@@ -1191,6 +1219,7 @@ class CloudSkyEngine:
             self.initialize_sky(now)
         if self.ring.frame >= self.perf.frames_to_update:
             self.ring.rotate_cloud()
+            self._display_pair = None
             self._refresh_frame_data(now)
             self._render_sky_lut()
         self._batch_remaining_tiles()
@@ -1199,6 +1228,7 @@ class CloudSkyEngine:
         """Warm start (`cloud_sky.gd:123-127`): two full synchronous cycles
         so the sky is complete on the first visible frame — batched into two
         dispatches."""
+        self._display_pair = None
         self._refresh_frame_data(now)
         self._render_sky_lut()
         for _ in range(2):
@@ -1221,6 +1251,7 @@ class CloudSkyEngine:
 
         if self.ring.frame >= self.perf.frames_to_update:
             self.ring.rotate_cloud()
+            self._display_pair = None
             self._refresh_frame_data(now)
             self._render_sky_lut()
 
@@ -1365,10 +1396,10 @@ class CloudSkyEngine:
             self.initialize_sky(now)
         if self.ring.frame >= self.perf.frames_to_update:
             self.ring.rotate_cloud()
+            self._display_pair = None
             self._refresh_frame_data(now)
             self._render_sky_lut()
         self._blend_amount = self.ring.blend_amount(self.perf.frames_to_update)
-        b0, b1 = self.ring.sky_back_textures
         prio_map, rk = self._tile_cull_args(*self.ring.update_position)
         skip = rk is not None and rk == 0.0
         if skip:
@@ -1376,16 +1407,15 @@ class CloudSkyEngine:
         eyedirs = jnp.asarray(eyedirs, jnp.float32)
         if self.tile_cull and self._tile_buckets is not None:
             self._warm_fused_variants(eyedirs, deband)
+        cloud_pair, sky_pair = self._display_pair_tables()
         self.cloud_ring, frame = _render_frame_fused(
             self.cloud_ring,
             self.sky_ring,
             jnp.int32(self.ring.texture_to_update),
             jnp.int32(self.ring.update_position[0]),
             jnp.int32(self.ring.update_position[1]),
-            jnp.int32(self.ring.texture_to_blend_from),
-            jnp.int32(self.ring.texture_to_blend_to),
-            jnp.int32(b0),
-            jnp.int32(b1),
+            cloud_pair,
+            sky_pair,
             self._march_params,
             self._noise_arg,
             jnp.int32(self.ring.cloud_kernel_sky_slot),
@@ -1592,6 +1622,7 @@ class CloudSkyEngine:
         self.ring = ring
         self.cloud_ring = jnp.asarray(state["cloud_ring"])
         self.sky_ring = jnp.asarray(state["sky_ring"])
+        self._display_pair = None
         self._sky_lut_needs_full_update = state["sky_lut_needs_full_update"]
         self._blend_amount = state.get("blend_amount", 0.0)
         # A checkpoint taken before the first tick must restore to an engine

@@ -39,13 +39,20 @@ _PI = jnp.pi  # Godot's shader PI built-in (full precision, unlike clouds.glsl)
 
 def sky_lut_blend(sky_from, sky_to, ray_dir, blend_amount):
     """`clouds.gdshader:34-45`: blended equirect lookup with the /50 exposure
-    normalization constant. sky_to=None reads a single pre-blended LUT
-    (blending commutes with the bilinear fetch)."""
+    normalization constant. sky_to=None reads either a single pre-blended
+    LUT (blending commutes with the bilinear fetch) or an 8-channel PAIR
+    brick table (from rgba ‖ to rgba in one gather row — the serving path;
+    one row fetch, then the same fetch-then-lerp order as the split path)."""
     phi = jnp.arctan2(ray_dir[..., 2], ray_dir[..., 0])
     theta = jnp.arcsin(jnp.clip(ray_dir[..., 1], -1.0, 1.0))
     u = phi / _PI * 0.5 + 0.5
     v = jnp.sqrt(jnp.abs(theta) / (_PI * 0.5)) * jnp.sign(theta) * 0.5 + 0.5
     uv = jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
+    if sky_to is None and isinstance(sky_from, BrickTable2D) \
+            and sky_from.channels == 8:
+        r = _fetch_clamp(sky_from, uv)
+        a = r[..., 0:3]
+        return (a + (r[..., 4:7] - a) * blend_amount) / 50.0
     a = _fetch_clamp(sky_from, uv)[..., :3]
     if sky_to is None:
         return a / 50.0
@@ -102,16 +109,24 @@ def get_atmo(eyedir, sky_from, sky_to, tlut, blend_amount, sun_dir,
 
 
 def composite_display(eyedir, cloud_blended, sky_blended, tlut, sun_dir,
-                      sun_disk_scale, *, deband: bool = False):
-    """Serving-path composite over PRE-BLENDED display textures.
+                      sun_disk_scale, blend_amount=0.0, *,
+                      deband: bool = False):
+    """Serving-path composite over display-ready brick tables.
 
-    Mathematically `composite` with the blend hoisted out of the per-pixel
-    fetches: the two cloud buffers and the two sky-LUT backbuffers are
-    blended once per frame (blending is linear, so it commutes with the
-    bilinear fetch up to fp reassociation) and rebricked, cutting the
-    per-pixel gather cost from 5 textures × 4 narrow corner rows to 3 fat
-    brick rows. Gated ≈bit-level against `composite` in
-    tests/test_compositor.py.
+    Two table forms are accepted:
+
+    - PAIR tables (channels == 8, the serving default): each gather row
+      carries the blend pair (from rgba in channels 0-3, to rgba in 4-7;
+      built once per cycle — the pair is frozen between rotations), and the
+      per-pixel lerp by `blend_amount` happens after the fetch, the same
+      order as the split-path `composite`. One fat row per texture per
+      pixel with ZERO per-tick table work (the per-tick pre-blend+rebrick
+      measured 16.3 of the 31.7 ms serving tick, bench/probe_tile_split.py).
+    - PRE-BLENDED tables/images (channels == 4): the round-3 form — blend
+      hoisted out of the fetch entirely (exact up to fp reassociation);
+      `blend_amount` is ignored.
+
+    Gated ≈bit-level against `composite` in tests/test_compositor.py.
     """
     eyedir = jnp.asarray(eyedir, jnp.float32)
     norm = eyedir.at[..., 1].set(jnp.maximum(0.0, eyedir[..., 1]))
@@ -121,8 +136,12 @@ def composite_display(eyedir, cloud_blended, sky_blended, tlut, sun_dir,
         jnp.array([1.0, 0.0, 0.0], jnp.float32),
     )
     clouds = _fetch_clamp(cloud_blended, world_dir_to_uv(norm))
+    if isinstance(cloud_blended, BrickTable2D) and cloud_blended.channels == 8:
+        clouds = clouds[..., 0:4] + \
+            (clouds[..., 4:8] - clouds[..., 0:4]) * blend_amount
     background = get_atmo(
-        eyedir, sky_blended, None, tlut, 0.0, sun_dir, sun_disk_scale
+        eyedir, sky_blended, None, tlut, blend_amount, sun_dir,
+        sun_disk_scale
     )
     color = background * (1.0 - clouds[..., 3:4]) + clouds[..., :3]
     fade = m.smoothstep(0.6, 1.0, 1.0 - eyedir[..., 1])[..., None]

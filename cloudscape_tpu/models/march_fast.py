@@ -1432,7 +1432,8 @@ def _accumulate_phase3(t, cd, hf, ss, phase, above, params: MarchParams,
 
 
 def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
-                          spc: int, params: MarchParams, atmos, lss):
+                          spc: int, params: MarchParams, atmos, lss,
+                          axis_name: str | None = None):
     """Hot-list accumulation (v3 `accum="segmented"`): the per-ray
     transmittance prefix and radiance sum computed directly on the
     [spc·cap_h] hot sample list — no [n, steps] plane scatters, no dense
@@ -1471,10 +1472,21 @@ def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
     head = jnp.concatenate(
         [jnp.ones((1,), bool), ray_h[1:] != ray_h[:-1]])
 
-    def seg_sum(a, b):
-        return jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1]
+    if jax.default_backend() == "tpu" and axis_name is None:
+        # One streaming pass (read value+head, write prefix) instead of
+        # the associative_scan's ~21 full-array passes — measured 33 ms
+        # off the headline frame (docs/PERF_NOTES.md round 5). Kept off
+        # the sharded path: the kernel's tile-aligned combine tree is not
+        # alignment-invariant, which would break test_sharding's bitwise
+        # 2-device ≡ 8-device reshard gate (per-shard cap_h differs).
+        from cloudscape_tpu.ops.segscan_pallas import segscan_sum_pallas
 
-    incl, _ = jax.lax.associative_scan(seg_sum, (cell_logdt, head))
+        incl = segscan_sum_pallas(cell_logdt, head)
+    else:
+        def seg_sum(a, b):
+            return jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1]
+
+        incl, _ = jax.lax.associative_scan(seg_sum, (cell_logdt, head))
     ray_excl = incl - cell_logdt
 
     dt_l = jnp.exp(A_l)
@@ -1724,7 +1736,8 @@ def _march_core3(above, ndir, ss, p0, phase, params: MarchParams,
     if accum == "segmented":
         out = _accumulate_segmented(t_h.reshape(-1), cd_h.reshape(-1),
                                     hf_h, g_h, ray_h, valid_h, n, spc,
-                                    params, atmos, lss)
+                                    params, atmos, lss,
+                                    axis_name=axis_name)
         if debug_stage == 9:  # accumulation complete, pre scatter-back
             return _dbg(out)
         if cull:

@@ -655,21 +655,21 @@ def test_fused_frame_loop_matches_sequential(tiny_noise):
                   light_steps=eng.perf.light_steps, kernel="fast2",
                   deband=False, capacity_frac=0.5, ray_keep_frac=None,
                   skip_march=False)
-    scalars = (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1))
     params = eng._march_params
     noise_arg = eng._noise_arg
     sky_slot = jnp.int32(eng.ring.cloud_kernel_sky_slot)
     light = jnp.asarray(eng.frame_data.light_direction, jnp.float32)
     disk = jnp.float32(eng.config.sun_disk_scale)
     blend = jnp.float32(0.5)
+    cloud_pair, sky_pair = eng._display_pair_tables()
 
     def one(ring, tile):
         return _render_frame_fused(
             ring, eng.sky_ring, jnp.int32(0),
             (tile % tiles_per_row) * region,
             (tile // tiles_per_row) * region,
-            *scalars, params, noise_arg, sky_slot, eng.transmittance, d,
-            blend, light, disk, None, **common)
+            cloud_pair, sky_pair, params, noise_arg, sky_slot,
+            eng.transmittance, d, blend, light, disk, None, **common)
 
     # Sequential: K separate dispatches.
     ring_seq = eng.cloud_ring + 0.0
