@@ -137,9 +137,19 @@ def test_bitfields_swapped_masks_rejected(tmp_path):
     with pytest.raises(ValueError, match="BGR"):
         _load_bmp_py(p)
     # The native decoder must reject it too (negative rc → fallback raises).
+    # Build on demand: this file sorts before test_native.py, which otherwise
+    # does the first build of a fresh checkout.
     import ctypes
+    import os
 
-    lib = ctypes.CDLL("/root/repo/native/libassetio.so")
+    from cloudscape_tpu.utils import build_native
+    from cloudscape_tpu.utils import _native
+
+    so = os.path.join(os.path.dirname(_native.__file__), "..", "..",
+                      "native", "libassetio.so")
+    if not os.path.exists(so) and not build_native.build(verbose=False):
+        pytest.skip("no native toolchain available")
+    lib = ctypes.CDLL(os.path.abspath(so))
     buf = (ctypes.c_float * 64)()
     rc = lib.assetio_bmp_decode(p.encode(), buf, ctypes.c_int64(64))
     assert rc < 0
