@@ -31,15 +31,17 @@ def stage(e):
     if p.fresh:
         return "boundary"
     if p.cone is None:
+        if p.idx is None and p.occ_done < getattr(e, "_n_occ", 0):
+            return f"occ{p.occ_done}"
         if p.idx is None:
-            return "idx"
+            return "idxfin"
         if p.slices_done < e._n_cone_slices:
             return f"bake{p.slices_done}"
         if p.asm_done < e._n_asm:
             return f"asm{p.asm_done}"
         return "wrap"
     if p.sky is None:
-        return "sky"
+        return f"sky{len(p.sky_rows or [])}"
     if e.tile_cull and p.buckets is None:
         if p.prio is None and p.cull_done < e._n_cull:
             return f"cull{p.cull_done}"
@@ -63,8 +65,10 @@ def main():
         cone_res=(32, 512, 512),
         tile_cull=True,
     )
-    print(f"schedule: slices={eng._n_cone_slices}x{eng._cone_slice} "
-          f"asm={eng._n_asm}x{eng._asm_slice} cull={eng._n_cull}", flush=True)
+    print(f"schedule: occ={eng._n_occ}x{eng._occ_slice} "
+          f"cone={eng._n_cone_slices}x{eng._cone_slice} "
+          f"asm={eng._n_asm}x{eng._asm_slice} "
+          f"sky={eng._n_sky}x{eng._sky_rows} cull={eng._n_cull}", flush=True)
     eye = jnp.asarray(B.view_dirs())
     t0 = time.perf_counter()
     np.asarray(eng.render_frame(eye, now=0.0)[0, 0])

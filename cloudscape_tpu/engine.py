@@ -44,6 +44,10 @@ from cloudscape_tpu.temporal import FrameData, RingState
 import functools
 
 
+def _ceil_to(v: int, mult: int) -> int:
+    return (v + mult - 1) // mult * mult
+
+
 @functools.lru_cache(maxsize=None)
 def _cone_builder(light_steps: int, res):
     """Jitted per-(light_steps, res) cone-cache builder — cached so repeated
@@ -110,6 +114,40 @@ def _sky_lut_jit():
 
 
 @functools.lru_cache(maxsize=None)
+def _sky_rows_jit(rows: int):
+    """One row band of the sky-view LUT (row0 traced — one executable
+    serves every band). Every engine sky render goes through THIS
+    executable (full renders = all bands back to back), so the amortized
+    slice-built LUT is bitwise the synchronous one by construction on any
+    backend."""
+    return jax.jit(partial(atmosphere.sky_lut_rows, rows=rows))
+
+
+@functools.lru_cache(maxsize=None)
+def _occ_slice_jit(res, count: int):
+    """Stage-0 step of the amortized cone bake: evaluate one `count`-cell
+    slice of the pre>0 occupancy predicate into the donated flat bool
+    buffer (the one-shot occupancy pass measured ~112 ms — the largest
+    single prebake spike; VERDICT r4 #3)."""
+    from cloudscape_tpu.models.march_fast import cone_occupancy_slice
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def occ(buf, i0, params, bricks):
+        return cone_occupancy_slice(buf, i0, params, bricks, count=count,
+                                    res=res, chunk=65536)
+
+    return occ
+
+
+@functools.lru_cache(maxsize=None)
+def _occ_finalize_jit(res):
+    """Dilation + compaction tail — bitwise `cone_occupancy_indices`."""
+    from cloudscape_tpu.models.march_fast import cone_occupancy_finalize
+
+    return jax.jit(partial(cone_occupancy_finalize, res=res, chunk=65536))
+
+
+@functools.lru_cache(maxsize=None)
 def _cull_raw_jit(count: int, steps: int, prepass_steps: int):
     from cloudscape_tpu.models.march_fast import cull_raw_slice
 
@@ -145,11 +183,14 @@ class _PendingCycle:
     frame_data: FrameData
     march_params: MarchParams
     vol: Optional[jax.Array]          # flat [nd*nh*nw] cone volume being baked
+    occ: Any = None                   # flat bool occupancy buffer being filled
+    occ_done: int = 0
     idx: Any = None                   # compacted occupied-cell indices
     slices_done: int = 0
     table: Any = None                 # [n_bricks, 128] cone table being written
     asm_done: int = 0
     cone: Any = None                  # assembled ConeCache once complete
+    sky_rows: Any = None              # list of prebaked sky-LUT row bands
     sky: Any = None                   # prebaked sky-LUT image for the pickup
     raw: Any = None                   # [n_sub, prepass_steps] raw cull buffer
     cull_done: int = 0
@@ -758,33 +799,44 @@ class CloudSkyEngine:
             self._start_time = _time.monotonic()
         return _time.monotonic() - self._start_time
 
+    # Measured per-unit device costs on a v5e (bench/probe_prebake2.py +
+    # the round-5 re-measurement after the display-pair/segscan work;
+    # docs/PERF_NOTES.md). Used ONLY for slice sizing — correctness never
+    # depends on them (every slice schedule reproduces the synchronous
+    # bake bitwise; see tests/test_cone_prebake.py).
+    _BAKE_COSTS = {
+        "cone_us_per_cell": 0.2,     # cone-march per compacted cell
+        "asm_us_per_row": 1.9,       # cone brick-table assembly per row
+        "occ_us_per_cell": 0.009,    # pre>0 occupancy eval per grid cell
+        "sky_ms_per_row": 0.48,      # sky-LUT in-scattering per row
+        "cull_us_per_ray": 0.7,      # cull-prepass raw per scored ray
+    }
+    # Per-tick added-device-work budget: ≲0.4× a steady serving tick, so
+    # the flat-frame-cost gate (per_tile_hitch ≤ 1.4, VERDICT r4 #3) holds
+    # with margin for relay jitter.
+    _BAKE_TICK_MS = 14.0
+
     def _derive_prebake_schedule(self) -> None:
-        """Per-tick stage sizing for the amortized cycle bake. Every stage
-        is capped at ~1 steady tile tick of device work (measured,
-        bench/probe_prebake2.py): cone-march slices ≲64k cells, brick-table
-        row slices ≲64k rows, cull prepass slices ≲80k rays. The stage
-        budget (boundary skip + occupancy + bakes + assembly + sky +
-        cull slices + finalize + readback + 1 slack) must fit in
-        frames_to_update ticks; when it can't (tiny cycles), the pending
-        bake simply isn't ready and the boundary takes the synchronous
-        fallback — correctness never depends on the schedule fitting."""
+        """Per-tick stage sizing for the amortized cycle bake, derived from
+        the measured per-unit costs above: every stage step is sized to
+        ≲_BAKE_TICK_MS of device work. When the resulting step count
+        doesn't fit in frames_to_update ticks, the per-tick budget scales
+        up until it does (the per-cycle bake total is fixed; fewer ticks
+        just means each carries more). When even that fails (tiny cycles),
+        the pending bake simply isn't ready at the boundary and the
+        synchronous fallback runs — correctness never depends on the
+        schedule fitting."""
         from cloudscape_tpu.models.march_fast import cone_capacity
         from cloudscape_tpu.ops.brick import brick3_grid
 
+        c = self._BAKE_COSTS
         n = int(np.prod(self.cone_res))
         self._cone_capacity = cone_capacity(n, 0.45, 65536)
         self._n_bricks = int(np.prod(brick3_grid(self.cone_res, (7, 3, 3))))
-        self._n_asm = -(-self._n_bricks // 65536)
-        self._asm_slice = min(-(-self._n_bricks // self._n_asm),
-                              self._n_bricks)
-        reserved = 1 + 1 + self._n_asm + 1 + 1  # skip, idx, asm, sky, slack
         if self.tile_cull:
             stride = 2 if self.perf.texture_size % 2 == 0 else 1
             self._cull_stride = stride
             self._n_sub = (self.perf.texture_size // stride) ** 2
-            self._n_cull = -(-self._n_sub // 81920)
-            self._cull_slice = min(-(-self._n_sub // self._n_cull),
-                                   self._n_sub)
             ps = max(1, self.perf.march_steps // 4)
             while self.perf.march_steps % ps:
                 ps -= 1
@@ -792,11 +844,66 @@ class CloudSkyEngine:
             self._dirs_sub = texel_directions(
                 self.perf.texture_size
             )[::stride, ::stride].reshape(-1, 3)
-            reserved += self._n_cull + 2  # slices, finalize, readback
-        bake_ticks = max(self.perf.frames_to_update - reserved, 1)
-        self._cone_slice = min(-(-self._cone_capacity // bake_ticks),
-                               self._cone_capacity)
-        self._n_cone_slices = -(-self._cone_capacity // self._cone_slice)
+        else:
+            self._n_sub = 0
+
+        def plan(budget_ms: float):
+            """Stage-step counts/sizes at one per-tick budget."""
+            occ_slice = max(int(budget_ms * 1e3 / c["occ_us_per_cell"]), 1)
+            cone_slice = max(int(budget_ms * 1e3 / c["cone_us_per_cell"]), 1)
+            asm_slice = max(int(budget_ms * 1e3 / c["asm_us_per_row"]), 1)
+            sky_rows = max(int(budget_ms / c["sky_ms_per_row"]), 1)
+            # Slice sizes ride jit cache keys — quantize so nearby budgets
+            # (and the clamped final slice) share executables.
+            occ_slice = min(_ceil_to(occ_slice, 65536), n)
+            cone_slice = min(_ceil_to(cone_slice, 16384),
+                             self._cone_capacity)
+            asm_slice = min(_ceil_to(asm_slice, 2048), self._n_bricks)
+            sky_rows = min(sky_rows, self.SKY_LUT_SHAPE[0])
+            while self.SKY_LUT_SHAPE[0] % sky_rows:
+                sky_rows -= 1
+            counts = {
+                "occ": -(-n // occ_slice),
+                "cone": -(-self._cone_capacity // cone_slice),
+                "asm": -(-self._n_bricks // asm_slice),
+                "sky": self.SKY_LUT_SHAPE[0] // sky_rows,
+            }
+            if self.tile_cull:
+                cull_slice = max(int(budget_ms * 1e3 / c["cull_us_per_ray"]),
+                                 1)
+                cull_slice = min(_ceil_to(cull_slice, 4096), self._n_sub)
+                counts["cull"] = -(-self._n_sub // cull_slice)
+            else:
+                cull_slice = 0
+                counts["cull"] = 0
+            # skip, idx-finalize, wrap, (cull finalize + readback), slack
+            fixed = 1 + 1 + 1 + (2 if self.tile_cull else 0) + 1
+            total = fixed + sum(counts.values())
+            return total, counts, occ_slice, cone_slice, asm_slice, \
+                sky_rows, cull_slice
+
+        # Seed at the larger of the flatness budget and the ideal uniform
+        # load (total bake work / available ticks), then step up finely
+        # until the integer step counts fit — coarse steps would leave
+        # idle ticks that a smaller budget could have used for flatness.
+        total_var_ms = (
+            self._cone_capacity * c["cone_us_per_cell"]
+            + n * c["occ_us_per_cell"]
+            + self._n_bricks * c["asm_us_per_row"]
+        ) * 1e-3 + self.SKY_LUT_SHAPE[0] * c["sky_ms_per_row"] \
+            + self._n_sub * c["cull_us_per_ray"] * 1e-3
+        avail = max(self.perf.frames_to_update - 6, 1)
+        budget = max(self._BAKE_TICK_MS, total_var_ms / avail)
+        total, counts, occ_s, cone_s, asm_s, sky_r, cull_s = plan(budget)
+        while total > self.perf.frames_to_update and budget < 4096.0:
+            budget *= 1.1
+            total, counts, occ_s, cone_s, asm_s, sky_r, cull_s = plan(budget)
+        self._occ_slice, self._n_occ = occ_s, counts["occ"]
+        self._cone_slice, self._n_cone_slices = cone_s, counts["cone"]
+        self._asm_slice, self._n_asm = asm_s, counts["asm"]
+        self._sky_rows, self._n_sky = sky_r, counts["sky"]
+        if self.tile_cull:
+            self._cull_slice, self._n_cull = cull_s, counts["cull"]
 
     def _refresh_frame_data(self, now: float) -> None:
         """`_update_per_frame_data` (`cloud_sky.gd:165-187`) minus the LUT
@@ -955,9 +1062,21 @@ class CloudSkyEngine:
             pend.fresh = False
             return
         if pend.cone is None:
-            if pend.idx is None:
-                pend.idx = _cone_idx_jit(self.cone_res)(
-                    pend.march_params, self._bricks)
+            if pend.idx is None and pend.occ_done < self._n_occ:
+                # Occupancy pre>0 eval, sliced (the one-shot form measured
+                # ~112 ms — the single largest prebake-tick spike).
+                if pend.occ is None:
+                    pend.occ = jnp.zeros((int(np.prod(self.cone_res)),),
+                                         bool)
+                n = int(np.prod(self.cone_res))
+                i0 = min(pend.occ_done * self._occ_slice,
+                         max(n - self._occ_slice, 0))
+                pend.occ = _occ_slice_jit(self.cone_res, self._occ_slice)(
+                    pend.occ, jnp.int32(i0), pend.march_params, self._bricks)
+                pend.occ_done += 1
+            elif pend.idx is None:
+                pend.idx = _occ_finalize_jit(self.cone_res)(pend.occ)
+                pend.occ = None
             elif pend.slices_done < self._n_cone_slices:
                 i0 = min(pend.slices_done * self._cone_slice,
                          max(self._cone_capacity - self._cone_slice, 0))
@@ -983,9 +1102,20 @@ class CloudSkyEngine:
                 pend.vol = None
                 pend.idx = None
         elif pend.sky is None:
-            pend.sky = _sky_lut_jit()(
+            # Sky-view LUT in row bands (the one-shot render measured
+            # ~48 ms); every engine sky render uses the same banded
+            # executable, so the prebaked image is bitwise the boundary
+            # fallback's by construction.
+            if pend.sky_rows is None:
+                pend.sky_rows = []
+            r0 = len(pend.sky_rows) * self._sky_rows
+            pend.sky_rows.append(_sky_rows_jit(self._sky_rows)(
                 self.transmittance,
-                jnp.asarray(pend.frame_data.light_direction, jnp.float32))
+                jnp.asarray(pend.frame_data.light_direction, jnp.float32),
+                jnp.int32(r0)))
+            if len(pend.sky_rows) >= self._n_sky:
+                pend.sky = jnp.concatenate(pend.sky_rows, axis=0)
+                pend.sky_rows = None
         elif self.tile_cull and pend.buckets is None:
             if pend.prio is None and pend.cull_done < self._n_cull:
                 if pend.raw is None:
@@ -1152,6 +1282,18 @@ class CloudSkyEngine:
             return self._bricks
         return self.noise
 
+    def _render_sky_image(self, sun_dir) -> jax.Array:
+        """One full sky-view LUT image through the banded executable the
+        amortized prebake uses (`_sky_rows_jit`) — full render = all bands
+        back to back, so prebaked ≡ synchronous bitwise on any backend."""
+        rows = getattr(self, "_sky_rows", self.SKY_LUT_SHAPE[0])
+        bands = [
+            _sky_rows_jit(rows)(self.transmittance, sun_dir, jnp.int32(r0))
+            for r0 in range(0, self.SKY_LUT_SHAPE[0], rows)
+        ]
+        return bands[0] if len(bands) == 1 \
+            else jnp.concatenate(bands, axis=0)
+
     def _render_sky_lut(self) -> None:
         """One LUT render + ring rotation (`sky_lut.gd:122-148`), three times
         on first use so all slots are valid (`sky_lut.gd:49-52`)."""
@@ -1164,7 +1306,7 @@ class CloudSkyEngine:
             # frame_data sun this boundary picks up) when available;
             # identical executables either way, so values are bitwise.
             img = picked if (renders == 1 and picked is not None) \
-                else _sky_lut_jit()(self.transmittance, sun_dir)
+                else self._render_sky_image(sun_dir)
             self.sky_ring = _write_sky_slot(
                 self.sky_ring, self.ring.sky_lut_current, img
             )

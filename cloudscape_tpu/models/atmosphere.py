@@ -201,13 +201,28 @@ def sky_lut(tlut: jax.Array, sun_direction, width: int = 200, height: int = 100
     (`sky_lut.gd:129-131`); the kernel's negated `.xzy` swizzle
     (`sky-lut.glsl:221-223`) is reproduced inside.
     """
+    return sky_lut_rows(tlut, sun_direction, 0, rows=height, width=width,
+                        height=height)
+
+
+def sky_lut_rows(tlut: jax.Array, sun_direction, row0, *, rows: int,
+                 width: int = 200, height: int = 100) -> jax.Array:
+    """One row band [row0, row0+rows) of `sky_lut`, [rows, width, 4].
+
+    Bitwise-equal to the same rows of the full render: every texel's math
+    is elementwise in (u, v) (the in-scattering loop reduces along STEPS,
+    not texels), so slicing the v range changes nothing. Lets the engine's
+    amortized prebake spread the per-cycle LUT render (~48 ms on a v5e)
+    over several ticks instead of spiking one (VERDICT r4 #3). `row0` may
+    be traced — one executable serves every band of a given height."""
     sun_direction = jnp.asarray(sun_direction, jnp.float32)
     sun_dir = jnp.stack(
         [-sun_direction[0], -sun_direction[2], sun_direction[1]]
     )
 
     u = (jnp.arange(width, dtype=jnp.float32) / width)[None, :]
-    v = (jnp.arange(height, dtype=jnp.float32) / height)[:, None]
+    v = ((jnp.asarray(row0, jnp.float32)
+          + jnp.arange(rows, dtype=jnp.float32)) / height)[:, None]
     u, v = jnp.broadcast_arrays(u, v)
 
     azimuth = 2.0 * _PI * u
@@ -262,10 +277,10 @@ def sky_lut(tlut: jax.Array, sun_direction, width: int = 200, height: int = 100
         return (l_in + transmittance * s_int, transmittance * step_transmittance)
 
     init = (
-        jnp.zeros((height, width, 4), jnp.float32),
-        jnp.ones((height, width, 4), jnp.float32),
+        jnp.zeros((rows, width, 4), jnp.float32),
+        jnp.ones((rows, width, 4), jnp.float32),
     )
     l_spec, _ = jax.lax.fori_loop(0, IN_SCATTERING_STEPS, body, init)
 
     rgb = jnp.einsum("hwc,rc->hwr", l_spec, SPECTRAL_TO_SRGB)
-    return jnp.concatenate([rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
+    return jnp.concatenate([rgb, jnp.ones((rows, width, 1), jnp.float32)], axis=-1)

@@ -644,6 +644,56 @@ def cone_occupancy_indices(params: MarchParams, bp: BrickPack,
     return _compact_indices(occ.reshape(-1), capacity, n)
 
 
+def cone_occupancy_slice(occ, i0, params: MarchParams, bp: BrickPack,
+                         count: int, res=(16, 256, 256),
+                         extent: float = 220e3, chunk: int = 16384):
+    """Stage-0 slice of the amortized cone bake (VERDICT r4 #3): evaluate
+    the `pre > 0` occupancy predicate for the flat cells [i0, i0+count) and
+    write them into the donated bool buffer `occ` ([nd*nh*nw]). Running all
+    slices then `cone_occupancy_finalize` reproduces
+    `cone_occupancy_indices` bitwise: the per-cell math is elementwise
+    (identical formulas on identical inputs — the monolithic pass's
+    broadcast grid evaluates the same expressions per cell), and the
+    dilation + compaction happen unsliced in the finalize. Factored out
+    because the one-shot occupancy pass measured ~112 ms — the largest
+    single prebake-tick spike in the serving loop's flat-frame-cost gate."""
+    nd, nh, nw = res
+    n = nd * nh * nw
+    unwarp, chunked = _cone_grid_chunked(res, extent, chunk)
+    sl = i0 + jnp.arange(count, dtype=jnp.int32)
+    safe = jnp.minimum(sl, n - 1)
+    iz = safe // (nh * nw)
+    iy = (safe // nw) % nh
+    ix = safe % nw
+    cx = unwarp((ix.astype(jnp.float32) + 0.5) / nw)
+    cz = unwarp((iy.astype(jnp.float32) + 0.5) / nh)
+    cr = SKY_B_RADIUS + ((iz.astype(jnp.float32) + 0.5) / nd) * (
+        SKY_T_RADIUS - SKY_B_RADIUS)
+    cy = jnp.sqrt(jnp.maximum(cr * cr - cx * cx - cz * cz, 1.0))
+    pre = chunked(
+        lambda blk: _density_pre_xyz(
+            blk[0], blk[1], blk[2],
+            _weather_rb_xy(bp, blk[0], blk[2], params.weather_pos),
+            0.0, params, bp)[0],
+        cx, cy, cz,
+    )
+    return jax.lax.dynamic_update_slice(occ, pre > 0.0, (i0,))
+
+
+def cone_occupancy_finalize(occ, res=(16, 256, 256), chunk: int = 16384,
+                            sparse_capacity_frac: float = 0.45):
+    """Dilation + compaction tail of the amortized occupancy stage — the
+    exact ops `cone_occupancy_indices` runs after its occupancy pass, so
+    slice-accumulated buffers finalize to the bitwise-same index vector."""
+    nd, nh, nw = res
+    n = nd * nh * nw
+    occ = occ.reshape(res)
+    for ax in range(3):
+        occ = occ | jnp.roll(occ, 1, ax) | jnp.roll(occ, -1, ax)
+    capacity = cone_capacity(n, sparse_capacity_frac, chunk)
+    return _compact_indices(occ.reshape(-1), capacity, n)
+
+
 def bake_cone_cells(vol, idx, i0, params: MarchParams, bp: BrickPack,
                     count: int, light_steps: int = 6, res=(16, 256, 256),
                     extent: float = 220e3, chunk: int = 16384):
