@@ -805,10 +805,10 @@ class CloudSkyEngine:
     # depends on them (every slice schedule reproduces the synchronous
     # bake bitwise; see tests/test_cone_prebake.py).
     _BAKE_COSTS = {
-        "cone_us_per_cell": 0.2,     # cone-march per compacted cell
+        "cone_us_per_cell": 0.06,    # cone-march per compacted cell
         "asm_us_per_row": 1.9,       # cone brick-table assembly per row
-        "occ_us_per_cell": 0.009,    # pre>0 occupancy eval per grid cell
-        "sky_ms_per_row": 0.48,      # sky-LUT in-scattering per row
+        "occ_us_per_cell": 0.0105,   # pre>0 occupancy eval per grid cell
+        "sky_ms_per_row": 0.2,       # sky-LUT in-scattering per row
         "cull_us_per_ray": 0.7,      # cull-prepass raw per scored ray
     }
     # Per-tick added-device-work budget: ≲0.4× a steady serving tick, so

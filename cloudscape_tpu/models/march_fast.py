@@ -684,14 +684,18 @@ def cone_occupancy_finalize(occ, res=(16, 256, 256), chunk: int = 16384,
                             sparse_capacity_frac: float = 0.45):
     """Dilation + compaction tail of the amortized occupancy stage — the
     exact ops `cone_occupancy_indices` runs after its occupancy pass, so
-    slice-accumulated buffers finalize to the bitwise-same index vector."""
+    slice-accumulated buffers finalize to the bitwise-same index vector.
+    Compaction goes through `_compact_mask` (the Pallas streaming kernel on
+    TPU — bit-identical to the XLA form, tests/test_compact_pallas.py):
+    this tick is the schedule's one unsplittable step, so its ~35 ms XLA
+    compaction was the flatness floor."""
     nd, nh, nw = res
     n = nd * nh * nw
     occ = occ.reshape(res)
     for ax in range(3):
         occ = occ | jnp.roll(occ, 1, ax) | jnp.roll(occ, -1, ax)
     capacity = cone_capacity(n, sparse_capacity_frac, chunk)
-    return _compact_indices(occ.reshape(-1), capacity, n)
+    return _compact_mask(occ.reshape(-1), capacity, n)
 
 
 def bake_cone_cells(vol, idx, i0, params: MarchParams, bp: BrickPack,
