@@ -1485,6 +1485,39 @@ def _accumulate_phase3(t, cd, hf, ss, phase, above, params: MarchParams,
     )).reshape(-1, 4)[:n]
 
 
+def _seg_end_reduce(cellsums, incl, head, ray_h, n: int, cap_h: int,
+                    scan_fn):
+    """Segment-END extraction instead of full-size scatter-adds: the 4
+    per-ray reductions as `.at[].add` over the whole hot list cost
+    ~7 ns/UPDATE × 4 × cap_h (the round-2 scatter rule — the largest block
+    of the accum phase at the headline scale). Instead: segmented-scan each
+    radiance channel (3 more single-pass Pallas scans; the logT scan `incl`
+    already ran), compact the segment-end positions (≤ one per ray — ray_h
+    is sorted, so each ray's cells are one contiguous run, and the fill
+    suffix merges into the last real segment contributing +0), then gather
+    the 4 totals at the ends and scatter ≤ n unique sorted values. Update
+    count drops from 4·cap_h to ~n. `scan_fn` is injected so the CPU
+    equivalence test can drive this exact code with an XLA segmented scan
+    (tests/test_march_v3.py)."""
+    seg_end = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    cap_e = min(_ceil_to(n, 128), cap_h)
+    sidx = _compact_mask(seg_end, cap_e, cap_h)
+    ssafe = jnp.minimum(sidx, cap_h - 1)
+    valid_e = sidx < cap_h
+    rid = jnp.where(valid_e, jnp.take(ray_h, ssafe,
+                                      indices_are_sorted=True), n)
+    bufs = []
+    for cs in cellsums:
+        tot = scan_fn(cs, head)
+        bufs.append(jnp.zeros((n,), jnp.float32).at[rid].set(
+            jnp.take(tot, ssafe, indices_are_sorted=True), mode="drop",
+            indices_are_sorted=True, unique_indices=True))
+    logT = jnp.zeros((n,), jnp.float32).at[rid].set(
+        jnp.take(incl, ssafe, indices_are_sorted=True), mode="drop",
+        indices_are_sorted=True, unique_indices=True)
+    return bufs, logT
+
+
 def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
                           spc: int, params: MarchParams, atmos, lss,
                           axis_name: str | None = None):
@@ -1526,7 +1559,8 @@ def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
     head = jnp.concatenate(
         [jnp.ones((1,), bool), ray_h[1:] != ray_h[:-1]])
 
-    if jax.default_backend() == "tpu" and axis_name is None:
+    use_pallas = jax.default_backend() == "tpu" and axis_name is None
+    if use_pallas:
         # One streaming pass (read value+head, write prefix) instead of
         # the associative_scan's ~21 full-array passes — measured 33 ms
         # off the headline frame (docs/PERF_NOTES.md round 5). Kept off
@@ -1553,19 +1587,24 @@ def _accumulate_segmented(t_h, cd_h, hf_h, g_h, ray_h, valid_h, n: int,
     # Same soft zero-gate as `_accumulate_phase3`'s accum_chunk.
     shared = t_prefix * (1.0 - dt_l) * (t_l / jnp.maximum(1e-7, t_l))
 
-    # Per-ray reductions: one sorted 1-D scatter-add per channel (+ one
-    # for log-transmittance); fills route out of bounds and drop.
-    ridx = jnp.where(valid_h, ray_h, n)
-    bufs = []
+    cellsums = []
     for c in range(3):
         ambient_c = atmosphere_ground[c] + \
             (atmosphere_ambient[c] - atmosphere_ground[c]) * sm
-        cellsum = jnp.sum(
-            shared * (ambient_c + bt_phase * atmosphere_sun[c]), axis=0)
-        bufs.append(jnp.zeros((n,), jnp.float32).at[ridx].add(
-            cellsum, mode="drop", indices_are_sorted=True))
-    logT = jnp.zeros((n,), jnp.float32).at[ridx].add(
-        cell_logdt, mode="drop", indices_are_sorted=True)
+        cellsums.append(jnp.sum(
+            shared * (ambient_c + bt_phase * atmosphere_sun[c]), axis=0))
+
+    if use_pallas:
+        bufs, logT = _seg_end_reduce(cellsums, incl, head, ray_h, n, cap_h,
+                                     segscan_sum_pallas)
+    else:
+        # Per-ray reductions: one sorted 1-D scatter-add per channel (+ one
+        # for log-transmittance); fills route out of bounds and drop.
+        ridx = jnp.where(valid_h, ray_h, n)
+        bufs = [jnp.zeros((n,), jnp.float32).at[ridx].add(
+            cs, mode="drop", indices_are_sorted=True) for cs in cellsums]
+        logT = jnp.zeros((n,), jnp.float32).at[ridx].add(
+            cell_logdt, mode="drop", indices_are_sorted=True)
     alpha = jnp.clip(1.0 - jnp.exp(logT), 0.0, 1.0)
     return jnp.stack(bufs + [alpha], axis=-1)
 

@@ -193,3 +193,54 @@ def test_select_cell_keep_frac_buckets():
     assert select_cell_keep_frac(0.3) == 0.35
     assert select_cell_keep_frac(0.9) == 1.0
     assert select_cell_keep_frac(0.3, margin=1.5) == 0.45
+
+
+def test_seg_end_reduce_matches_scatter_add():
+    """The TPU accum tail's segment-end extraction (`_seg_end_reduce`:
+    3 segmented scans + compacted end gather + ≤n unique scatter) must
+    equal the scatter-add per-ray reductions — driven here with an XLA
+    segmented scan injected as scan_fn, so the exact shipped code path
+    (minus the Pallas kernel, gated in tests/test_segscan_pallas.py) is
+    covered on CPU."""
+    import jax
+
+    from cloudscape_tpu.models.march_fast import _seg_end_reduce
+
+    rng = np.random.default_rng(7)
+    n, cap_h = 256, 1024
+    # Sorted ray ids in contiguous runs over a subset of rays, fill suffix
+    # tagged n-1 (exactly what cidx_h // P + min produces after fills).
+    n_real = 800
+    ids = np.sort(rng.integers(0, n, size=n_real))
+    ray_h = np.concatenate([ids, np.full(cap_h - n_real, n - 1)])
+    valid = np.arange(cap_h) < n_real
+    head = np.concatenate([[True], ray_h[1:] != ray_h[:-1]])
+    cellsums = [
+        jnp.asarray(np.where(valid, rng.normal(size=cap_h), 0.0), jnp.float32)
+        for _ in range(3)
+    ]
+    logdt = jnp.asarray(np.where(valid, -np.abs(rng.normal(size=cap_h)), 0.0),
+                        jnp.float32)
+
+    def xla_segscan(vals, hd):
+        def seg_sum(a, b):
+            return jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1]
+
+        incl, _ = jax.lax.associative_scan(seg_sum, (vals, hd))
+        return incl
+
+    head_j = jnp.asarray(head)
+    incl = xla_segscan(logdt, head_j)
+    bufs, logT = _seg_end_reduce(cellsums, incl, head_j,
+                                 jnp.asarray(ray_h, jnp.int32), n, cap_h,
+                                 xla_segscan)
+    ridx = jnp.where(jnp.asarray(valid), jnp.asarray(ray_h, jnp.int32), n)
+    for c in range(3):
+        want = jnp.zeros((n,), jnp.float32).at[ridx].add(
+            cellsums[c], mode="drop", indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(bufs[c]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    want_logT = jnp.zeros((n,), jnp.float32).at[ridx].add(
+        logdt, mode="drop", indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(logT), np.asarray(want_logT),
+                               rtol=1e-5, atol=1e-6)
