@@ -303,11 +303,19 @@ def _per_tile_metrics(rec: dict, sun, eye) -> None:
         tile_times.append((time.perf_counter() - t0) * 1e3)
     per_tile_ms = statistics.median(tile_times)
     per_tile_max_ms = max(tile_times)
+    # p95-based hitch alongside the max-based one: the e2e path rides the
+    # axon loopback relay, whose jitter produces lone ~2x outlier ticks
+    # even with NO prebake work scheduled (docs/PERF_NOTES.md round 3 —
+    # "a lone 320 ms tick mid-cycle in the no-prebake run too"); the p95
+    # isolates the schedule's actual flatness from single-tick transport
+    # noise. Both are reported.
+    p95 = sorted(tile_times)[int(len(tile_times) * 0.95)]
     t0 = time.perf_counter()
     np.asarray(jax.block_until_ready(eng.render_frame(eye, now=140 / 60.0)))
     rec["per_tile_ms"] = round(per_tile_ms, 2)
     rec["per_tile_max_ms"] = round(per_tile_max_ms, 1)
     rec["per_tile_hitch"] = round(per_tile_max_ms / per_tile_ms, 2)
+    rec["per_tile_hitch_p95"] = round(p95 / per_tile_ms, 2)
     rec["fps_equivalent"] = round(1000.0 / per_tile_ms, 1)
     rec["per_tile_readback_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     rec["per_tile_config"] = \

@@ -227,6 +227,35 @@ def main() -> None:
               "clouds_frac": round(float((out[..., 3] > 0.1).mean()), 3),
               "cone_cache": "32x512x512", "bands": 4, "coarse_steps": 32})
 
+        # Best-SPEED row: the standard-lattice v3 cell-gated march over 4
+        # row bands with per-band measured policy. The window lattice above
+        # redistributes the step budget for QUALITY (48 dB class vs a
+        # 512-step gt — the reference's TODO #1 semantics) but already
+        # skips each ray's empty span, so the cell gate cannot repeat its
+        # flat-lattice win there (measured: live cells within windows =
+        # 0.98, docs/PERF_NOTES.md round 5). On the fixed lattice (the
+        # exact march's own quality class, same ≥40 dB gates as the
+        # headline — tests/test_bench_config.py/test_march_v3.py) the cell
+        # gate does its full work; each 512×2048 band is exactly the
+        # headline's ray count and bounds peak HBM like the banded
+        # hierarchical rows do.
+        n_bands, hb = 4, 1024 // 4
+        band_ms, band_rows = 0.0, []
+        for b in range(n_bands):
+            db = dirs[b * hb:(b + 1) * hb]
+            rk, ck, hk, cf, hf = v3_auto_policy(db, p, bricks, steps=128)
+            f = jax.jit(lambda d, q, c, rk=rk, ck=ck, hk=hk: march_bricks_v3(
+                d, q, bricks, sky, steps=128, chunk=32768,
+                cell_keep_frac=ck, hot_keep_frac=hk, cone_cache=c,
+                ray_keep_frac=rk, ray_stride=2))
+            ms, _ = _timed(f, db, p, cc)
+            band_ms += ms
+            band_rows.append({"band": b, "ms": round(ms, 1),
+                              "policy": [rk, ck, hk]})
+        emit(5, "hierarchical_2048x1024x128_v3flat", band_ms, 2048, 1024,
+             {"kernel": "v3_banded_flat", "bands": band_rows,
+              "cone_cache": "32x512x512"})
+
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(records, fh, indent=1)
