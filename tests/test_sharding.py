@@ -225,6 +225,39 @@ def test_mesh_engine_fast3_matches_single(setup):
     )
 
 
+def test_mesh_engine_hier_matches_single(setup):
+    """CloudSkyEngine(mesh=..., kernel='hier'): the window-lattice v3 tile
+    arm under the mesh. Not gated bitwise: the per-shard window probe and
+    prepass dilation see only in-shard rows (the same documented seam
+    trade as `march_hierarchical_v3_banded`), and SPMD partitioning picks
+    its own whole-module fusion rendering (docs/PERF_NOTES.md round 5 —
+    the same ≤~1.3e-2 class as the fast3 test above). Measured here:
+    ~98.7% of texels bitwise-equal, stray texels ≤3e-3."""
+    from cloudscape_tpu.config import CloudConfig, PerfConfig, SunState
+    from cloudscape_tpu.engine import CloudSkyEngine
+
+    noise, _, _, _, sun = setup
+    kw = dict(
+        perf=PerfConfig(texture_size=32, frames_to_update=4, march_steps=8,
+                        light_steps=2),
+        config=CloudConfig(cloud_coverage=0.6),
+        sun=SunState(direction=tuple(sun)),
+        noise=noise,
+        kernel="hier",
+        cone_res=(8, 64, 64),
+    )
+    a = CloudSkyEngine(**kw)
+    b = CloudSkyEngine(**kw, mesh=sharding.make_mesh())
+    a.update_sky(now=0.0)
+    b.update_sky(now=0.0)
+    ar = np.asarray(a.cloud_ring)
+    br = np.asarray(b.cloud_ring)
+    assert np.isfinite(br).all()
+    assert np.abs(ar).max() > 0.0, "hier mesh test is vacuous"
+    np.testing.assert_allclose(ar, br, atol=2e-2)
+    assert (ar == br).mean() > 0.9
+
+
 def test_indivisible_rows_raise(setup):
     noise, _, slut, params, _ = setup
     mesh = sharding.make_mesh()
